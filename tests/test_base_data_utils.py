@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+
+import volume_segmantics_tpu.utils.base_data_utils as utils
+from volume_segmantics_tpu.utils.base_data_utils import Axis, ModelType, Quality
+
+
+class TestEnums:
+    def test_quality_values(self):
+        assert Quality.LOW.value == 1
+        assert Quality.MEDIUM.value == 3
+        assert Quality.HIGH.value == 12
+
+    def test_enum_from_setting(self):
+        assert utils.create_enum_from_setting("medium", Quality) == Quality.MEDIUM
+        assert utils.create_enum_from_setting("U_NET", ModelType) == ModelType.U_NET
+        assert utils.create_enum_from_setting(Axis.Z, Axis) == Axis.Z
+
+    def test_enum_bad_value_exits(self):
+        with pytest.raises(SystemExit):
+            utils.create_enum_from_setting("bogus", Quality)
+
+
+class TestClipToUint8:
+    def test_output_dtype_and_range(self, rand_float_volume):
+        out = utils.clip_to_uint8(
+            rand_float_volume.copy(), np.nanmean(rand_float_volume), 2.575
+        )
+        assert out.dtype == np.uint8
+
+    def test_nan_removed(self, rand_float_nan_volume):
+        out = utils.clip_to_uint8(
+            rand_float_nan_volume.copy(), np.nanmean(rand_float_nan_volume), 2.575
+        )
+        assert out.dtype == np.uint8
+        assert not np.isnan(out).any()
+
+    def test_integer_input(self, rand_int_volume):
+        out = utils.clip_to_uint8(
+            rand_int_volume.astype(np.int32), float(rand_int_volume.mean()), 2.575
+        )
+        assert out.dtype == np.uint8
+
+
+class TestDownsample:
+    def test_ceil_shape(self):
+        vol = np.random.rand(11, 12, 13)
+        out = utils.downsample_data(vol)
+        assert out.shape == (6, 6, 7)
+
+    def test_exact_mean(self):
+        vol = np.arange(8, dtype=np.float64).reshape(2, 2, 2)
+        out = utils.downsample_data(vol)
+        assert out.shape == (1, 1, 1)
+        assert np.isclose(out[0, 0, 0], vol.mean())
+
+
+class TestSlicingMath:
+    def test_num_of_ims_all(self):
+        assert utils.get_num_of_ims((3, 4, 5), Axis.ALL) == 12
+        assert utils.get_num_of_ims((3, 4, 5), Axis.Y) == 4
+
+    def test_axis_index_pairs_count(self):
+        pairs = list(utils.get_axis_index_pairs((3, 4, 5), Axis.ALL))
+        assert len(pairs) == 12
+        pairs_z = list(utils.get_axis_index_pairs((3, 4, 5), Axis.Z))
+        assert len(pairs_z) == 3
+
+    def test_axis_index_to_slice(self):
+        vol = np.random.rand(3, 4, 5)
+        assert utils.axis_index_to_slice(vol, "z", 1).shape == (4, 5)
+        assert utils.axis_index_to_slice(vol, "y", 2).shape == (3, 5)
+        assert utils.axis_index_to_slice(vol, "x", 3).shape == (3, 4)
+
+    def test_rotate_involutive(self, rand_int_volume):
+        for axis in (Axis.Z, Axis.Y, Axis.X):
+            rot = utils.rotate_array_to_axis(rand_int_volume, axis)
+            back = utils.rotate_array_to_axis(rot, axis)
+            assert np.array_equal(back, rand_int_volume)
+
+
+class TestOneHot:
+    def test_one_hot_encode(self):
+        arr = np.random.randint(3, size=(4, 5, 6))
+        oh = utils.one_hot_encode_array(arr, 3)
+        assert oh.shape == (3, 4, 5, 6)
+        assert oh.dtype == np.uint8
+        assert np.array_equal(np.argmax(oh, axis=0), arr)
+        assert (oh.sum(axis=0) == 1).all()
+
+
+class TestSequentialLabels:
+    def test_sequential(self):
+        assert utils.sequential_labels(np.array([0, 1, 2, 3]))
+        assert not utils.sequential_labels(np.array([0, 2, 3]))
+        assert not utils.sequential_labels(np.array([1, 3, 5]))
+
+
+class TestHDF5IO:
+    def test_round_trip(self, tmp_path, rand_int_volume):
+        path = tmp_path / "out.h5"
+        utils.save_data_to_hdf5(rand_int_volume, path)
+        data, chunks = utils.numpy_from_hdf5(path)
+        assert np.array_equal(data, rand_int_volume)
+        assert chunks is not None
+
+    def test_get_numpy_from_path_tiff(self, rand_int_tiff_path, rand_int_volume):
+        data, chunking = utils.get_numpy_from_path(rand_int_tiff_path)
+        assert np.array_equal(data, rand_int_volume)
+        assert chunking is True
+
+
+class TestImgAsUbyte:
+    def test_uint8_passthrough(self):
+        arr = np.random.randint(256, size=(4, 4)).astype(np.uint8)
+        assert utils.img_as_ubyte(arr) is arr
+
+    def test_float_unit_range(self):
+        arr = np.array([[0.0, 0.5], [1.0, 0.25]])
+        out = utils.img_as_ubyte(arr)
+        assert out.dtype == np.uint8
+        assert out[0, 0] == 0 and out[1, 0] == 255
+
+    def test_uint16(self):
+        arr = np.array([[0, 65535]], dtype=np.uint16)
+        out = utils.img_as_ubyte(arr)
+        assert out[0, 0] == 0 and out[0, 1] == 255
+
+
+class TestCrop:
+    def test_center_crop(self):
+        arr = np.arange(36).reshape(6, 6)
+        out = utils.crop_array_to_dims(arr, (4, 4))
+        assert out.shape == (4, 4)
+        assert out[0, 0] == arr[1, 1]

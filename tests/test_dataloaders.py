@@ -1,0 +1,49 @@
+import numpy as np
+
+from volume_segmantics_tpu.data.dataloaders import (
+    get_2d_prediction_dataloader,
+    get_2d_training_dataloaders,
+)
+
+
+def test_training_split_sizes(image_dir, label_dir, training_settings):
+    train_loader, val_loader = get_2d_training_dataloaders(
+        image_dir, label_dir, training_settings
+    )
+    # 20 slices, 0.8 split, batch 2, drop_last for training
+    assert len(train_loader.indices) == 16
+    assert len(val_loader.indices) == 4
+    assert len(train_loader) == 8
+    assert len(val_loader) == 2
+
+
+def test_training_batches(image_dir, label_dir, training_settings):
+    train_loader, _ = get_2d_training_dataloaders(
+        image_dir, label_dir, training_settings
+    )
+    batches = list(train_loader)
+    assert len(batches) == len(train_loader)
+    images, masks, n_valid = batches[0]
+    assert images.shape == (2, 64, 64)
+    assert masks.shape == (2, 64, 64)
+    assert n_valid == 2
+
+
+def test_remainder_batch_padded():
+    from volume_segmantics_tpu.data.dataloaders import ArrayBatcher
+
+    images = np.zeros((5, 8, 8), np.uint8)
+    masks = np.zeros((5, 8, 8), np.uint8)
+    b = ArrayBatcher(images, masks, np.arange(5), 2, shuffle=False, drop_last=False)
+    batches = list(b)
+    assert len(batches) == 3
+    assert batches[-1][0].shape == (2, 8, 8)
+    assert batches[-1][2] == 1  # only one valid sample in final batch
+
+
+def test_prediction_dataloader(prediction_settings):
+    vol = np.random.randint(256, size=(5, 32, 32)).astype(np.uint8)
+    loader = get_2d_prediction_dataloader(vol, prediction_settings)
+    batches = list(loader)
+    assert sum(n for _, n in batches) == 5
+    assert all(b.shape[0] == loader.batch_size for b, _ in batches)

@@ -1,0 +1,73 @@
+"""Device-op tests: warp sampling, CLAHE, fused augmentation pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volume_segmantics_tpu.ops.augment import augment_batch
+from volume_segmantics_tpu.ops.clahe import clahe
+from volume_segmantics_tpu.ops.warp import (
+    bilinear_sample,
+    identity_coords,
+    nearest_sample,
+    reflect101_index,
+)
+
+
+class TestWarp:
+    def test_reflect101(self):
+        idx = jnp.array([-2, -1, 0, 1, 4, 5, 6])
+        out = np.asarray(reflect101_index(idx, 5))
+        assert list(out) == [2, 1, 0, 1, 4, 3, 2]
+
+    def test_bilinear_identity(self):
+        img = jnp.array(np.random.rand(16, 16), jnp.float32)
+        coords = identity_coords(16, 16)
+        out = bilinear_sample(img, coords)
+        assert np.allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    def test_nearest_identity(self):
+        img = jnp.array(np.random.randint(4, size=(16, 16)), jnp.int32)
+        out = nearest_sample(img, identity_coords(16, 16))
+        assert np.array_equal(np.asarray(out), np.asarray(img))
+
+
+class TestClahe:
+    def test_range_and_shape(self):
+        img = jnp.array(np.random.rand(64, 64), jnp.float32)
+        out = np.asarray(clahe(img, jnp.float32(2.0)))
+        assert out.shape == (64, 64)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_uniform_image_stays_flat(self):
+        img = jnp.full((64, 64), 0.5, jnp.float32)
+        out = np.asarray(clahe(img, jnp.float32(2.0)))
+        assert out.std() < 0.02
+
+
+class TestAugmentBatch:
+    def test_shapes_dtypes_and_label_set(self):
+        rng = jax.random.PRNGKey(0)
+        imgs = jnp.array(np.random.rand(4, 64, 64), jnp.float32)
+        msks = jnp.array(np.random.randint(3, size=(4, 64, 64)), jnp.int32)
+        ai, am = augment_batch(rng, imgs, msks, 64)
+        assert ai.shape == (4, 64, 64)
+        assert am.shape == (4, 64, 64)
+        assert am.dtype == jnp.int32
+        assert set(np.unique(np.asarray(am))) <= {0, 1, 2}
+        assert np.asarray(ai).min() >= 0.0
+
+    def test_randomness_between_keys(self):
+        imgs = jnp.array(np.random.rand(2, 64, 64), jnp.float32)
+        msks = jnp.zeros((2, 64, 64), jnp.int32)
+        a1, _ = augment_batch(jax.random.PRNGKey(1), imgs, msks, 64)
+        a2, _ = augment_batch(jax.random.PRNGKey(2), imgs, msks, 64)
+        assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+    def test_determinism_same_key(self):
+        imgs = jnp.array(np.random.rand(2, 64, 64), jnp.float32)
+        msks = jnp.zeros((2, 64, 64), jnp.int32)
+        a1, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, 64)
+        a2, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, 64)
+        assert np.allclose(np.asarray(a1), np.asarray(a2))

@@ -1,0 +1,71 @@
+"""Predictor integration tests (reference tests/test_vol_seg_2d_predictor.py
+equivalent: asserts dtypes uint8 labels / float16 probs / 4D one-hot)."""
+
+import numpy as np
+import pytest
+
+from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+    VolSeg2dPredictor,
+)
+from volume_segmantics_tpu.utils.base_data_utils import Axis
+
+
+@pytest.fixture()
+def predictor(model_path, prediction_settings):
+    return VolSeg2dPredictor(model_path, prediction_settings)
+
+
+@pytest.fixture()
+def data_vol():
+    return np.random.randint(256, size=(12, 34, 21)).astype(np.uint8)
+
+
+@pytest.mark.slow
+class TestPredictor:
+    def test_single_axis(self, predictor, data_vol):
+        labels, probs = predictor._predict_single_axis(data_vol)
+        assert labels.shape == data_vol.shape
+        assert labels.dtype == np.uint8
+        assert probs.shape == data_vol.shape
+        assert probs.dtype == np.float16
+
+    def test_single_axis_y(self, predictor, data_vol):
+        labels, probs = predictor._predict_single_axis(data_vol, axis=Axis.Y)
+        assert labels.shape == data_vol.shape
+        assert probs.dtype == np.float16
+
+    def test_3_ways(self, predictor, data_vol):
+        labels, probs = predictor._predict_3_ways_max_probs(data_vol)
+        assert labels.shape == data_vol.shape
+        assert labels.dtype == np.uint8
+        assert probs.dtype == np.float16
+
+    def test_12_ways(self, predictor, data_vol):
+        labels, probs = predictor._predict_12_ways_max_probs(data_vol)
+        assert labels.shape == data_vol.shape
+        assert labels.dtype == np.uint8
+        assert probs.dtype == np.float16
+
+    def test_one_hot_single(self, predictor, data_vol):
+        oh = predictor._predict_single_axis_to_one_hot(data_vol)
+        assert oh.shape == (predictor.num_labels, *data_vol.shape)
+        assert oh.dtype == np.uint8
+        assert oh.max() <= 1
+
+    def test_one_hot_3_ways(self, predictor, data_vol):
+        oh = predictor._predict_3_ways_one_hot(data_vol)
+        assert oh.shape == (predictor.num_labels, *data_vol.shape)
+        assert oh.sum(axis=0).max() == 3
+
+    def test_merge_semantics(self, predictor):
+        # ties go to the earlier sweep; higher prob wins
+        l0 = np.zeros((2, 2, 2), np.uint8)
+        l1 = np.ones((2, 2, 2), np.uint8)
+        p0 = np.full((2, 2, 2), 0.5, np.float16)
+        p1 = np.full((2, 2, 2), 0.5, np.float16)
+        p1[0] = 0.9
+        labels, probs = predictor._merge_pair(l0, p0, l1, p1)
+        labels, probs = np.asarray(labels), np.asarray(probs)
+        assert (labels[0] == 1).all()  # higher prob wins
+        assert (labels[1] == 0).all()  # tie keeps the first sweep
+        assert (probs[0] == np.float16(0.9)).all()

@@ -1,0 +1,62 @@
+"""Trainer integration tests (reference tests/test_vol_seg_2d_trainer.py
+equivalent: 1-epoch end-to-end run asserting model file + loss plot +
+prediction figure exist)."""
+
+import numpy as np
+import pytest
+
+from volume_segmantics_tpu.model import VolSeg2dTrainer
+
+
+@pytest.fixture()
+def fast_settings(training_settings):
+    training_settings.num_cyc_frozen = 1
+    training_settings.num_cyc_unfrozen = 0
+    training_settings.patience = 2
+    training_settings.lr_find_epochs = 1
+    return training_settings
+
+
+@pytest.fixture()
+def trainer(image_dir, label_dir, fast_settings):
+    return VolSeg2dTrainer(image_dir, label_dir, 4, fast_settings)
+
+
+@pytest.mark.slow
+class TestTrainer:
+    def test_init(self, trainer):
+        assert trainer.label_no == 4
+        assert len(trainer.training_loader) == 8
+        assert len(trainer.validation_loader) == 2
+
+    def test_freeze_mask(self, trainer):
+        import jax
+
+        from volume_segmantics_tpu.model.operations.vol_seg_2d_trainer import (
+            _freeze_mask,
+        )
+
+        trainer._create_model_and_optimiser(1e-4, frozen=True)
+        mask = _freeze_mask(trainer.bundle.params, True)
+        leaves = jax.tree_util.tree_leaves(mask)
+        assert 0.0 in leaves and 1.0 in leaves
+        unfrozen = _freeze_mask(trainer.bundle.params, False)
+        assert all(l == 1.0 for l in jax.tree_util.tree_leaves(unfrozen))
+
+    def test_one_epoch_end_to_end(self, trainer, tmp_path):
+        model_out = tmp_path / "model.pytorch"
+        trainer.train_model(model_out, 1, 2, create=True, frozen=True)
+        assert model_out.exists()
+        assert len(trainer.avg_train_losses) == 1
+        assert np.isfinite(trainer.avg_train_losses[0])
+        trainer.output_loss_fig(model_out)
+        trainer.output_prediction_figure(model_out)
+        assert (tmp_path / "model_loss_plot.png").exists()
+        assert (tmp_path / "model_train_stats.csv").exists()
+        assert (tmp_path / "model_prediction_image.png").exists()
+
+    def test_warm_start_second_phase(self, trainer, tmp_path):
+        model_out = tmp_path / "model.pytorch"
+        trainer.train_model(model_out, 1, 2, create=True, frozen=True)
+        trainer.train_model(model_out, 1, 2, create=False, frozen=False)
+        assert len(trainer.avg_train_losses) == 2

@@ -1,0 +1,127 @@
+"""Batch iterators over in-memory slice arrays.
+
+Replaces the reference's torch DataLoader + 4 worker subprocesses
+(reference volume_segmantics/data/dataloaders.py:15-71). Because slices are
+preprocessed into contiguous uint8 arrays once, batching is pure numpy
+indexing — there is nothing for worker processes to do, and each batch is a
+single host->device transfer. Augmentation runs on device.
+"""
+
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Tuple
+
+import numpy as np
+
+import volume_segmantics_tpu.utils.base_data_utils as utils
+from volume_segmantics_tpu.data.datasets import (
+    get_2d_prediction_dataset,
+    get_2d_training_dataset,
+    get_2d_validation_dataset,
+)
+
+
+class ArrayBatcher:
+    """Iterates fixed-size (images, masks, n_valid) numpy batches.
+
+    Always emits full `batch_size` batches so the jitted step compiles once:
+    a short remainder batch is padded by wrapping around, with `n_valid`
+    marking how many leading samples are real (loss/metrics mask the rest).
+    """
+
+    def __init__(self, images, masks, indices, batch_size, shuffle, drop_last):
+        self.images = images
+        self.masks = masks
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng()
+
+    def __len__(self):
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return int(np.ceil(n / self.batch_size))
+
+    def __iter__(self):
+        order = self.indices
+        if self.shuffle:
+            order = self._rng.permutation(order)
+        bs = self.batch_size
+        for b in range(len(self)):
+            chunk = order[b * bs : (b + 1) * bs]
+            n_valid = len(chunk)
+            if n_valid < bs:
+                pad = order[: bs - n_valid]
+                chunk = np.concatenate([chunk, pad])
+            yield self.images[chunk], self.masks[chunk], n_valid
+
+
+def get_2d_training_dataloaders(
+    image_dir: Path, label_dir: Path, settings: SimpleNamespace
+) -> Tuple[ArrayBatcher, ArrayBatcher]:
+    """Train/validation batchers with a random permutation split at
+    `training_set_proportion` (reference dataloaders.py:15-56)."""
+    training_set_prop = settings.training_set_proportion
+    batch_size = utils.get_batch_size(settings)
+
+    dataset = get_2d_training_dataset(image_dir, label_dir, settings)
+    images, masks = dataset.stacked_arrays()
+
+    dset_length = len(dataset)
+    indices = np.random.permutation(dset_length)
+    split = int(dset_length * training_set_prop)
+    train_idx, validate_idx = indices[:split], indices[split:]
+
+    training_batcher = ArrayBatcher(
+        images, masks, train_idx, batch_size, shuffle=True, drop_last=True
+    )
+    validation_batcher = ArrayBatcher(
+        images, masks, validate_idx, batch_size, shuffle=False, drop_last=False
+    )
+    return training_batcher, validation_batcher
+
+
+class PredictionBatcher:
+    """Yields fixed-size batches of already-padded volume slices."""
+
+    def __init__(self, data_vol, batch_size):
+        self.data_vol = data_vol
+        self.batch_size = int(batch_size)
+
+    def __len__(self):
+        return int(np.ceil(self.data_vol.shape[0] / self.batch_size))
+
+    def __iter__(self):
+        n = self.data_vol.shape[0]
+        bs = self.batch_size
+        for b in range(len(self)):
+            chunk = self.data_vol[b * bs : (b + 1) * bs]
+            n_valid = chunk.shape[0]
+            if n_valid < bs:
+                reps = np.broadcast_to(
+                    chunk[-1:], (bs - n_valid, *chunk.shape[1:])
+                )
+                chunk = np.concatenate([chunk, reps])
+            yield chunk, n_valid
+
+
+def get_2d_prediction_dataloader(
+    data_vol: np.ndarray, settings: SimpleNamespace
+) -> PredictionBatcher:
+    """Prediction batcher (reference dataloaders.py:60-71). Padding to the
+    stride divisor is done volume-at-once by the predictor."""
+    batch_size = utils.get_batch_size(settings, prediction=True)
+    return PredictionBatcher(data_vol, batch_size)
+
+
+# Re-export for API discoverability alongside the reference factory names.
+__all__ = [
+    "ArrayBatcher",
+    "PredictionBatcher",
+    "get_2d_training_dataloaders",
+    "get_2d_prediction_dataloader",
+    "get_2d_prediction_dataset",
+    "get_2d_validation_dataset",
+]

@@ -1,0 +1,101 @@
+"""Model construction API (reference volume_segmantics/model/model_2d.py:10-57
+parity): build a model on the device from a structure dict, or rebuild
+model + weights + label codes from a saved checkpoint file.
+
+A "model" here is a `ModelBundle`: the Flax module plus its variables
+({"params", "batch_stats"}), the architecture dict, and label codes — the
+functional-JAX equivalent of the reference's stateful torch nn.Module.
+"""
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import serialization
+
+from volume_segmantics_tpu.models.checkpoint import load_checkpoint
+from volume_segmantics_tpu.models.registry import create_model
+
+
+@dataclass
+class ModelBundle:
+    module: nn.Module
+    variables: Dict[str, Any]
+    model_struc_dict: dict
+    label_codes: Any = None
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    @property
+    def batch_stats(self):
+        return self.variables.get("batch_stats", {})
+
+    def apply_nchw(self, x_nchw, train: bool = False):
+        """Forward pass taking/returning NCHW (reference array convention);
+        internally NHWC for TPU."""
+        x = jnp.transpose(jnp.asarray(x_nchw), (0, 2, 3, 1))
+        logits = self.module.apply(self.variables, x, train=False)
+        return jnp.transpose(logits, (0, 3, 1, 2))
+
+    def count_parameters(self) -> int:
+        return sum(
+            np.prod(np.asarray(x).shape)
+            for x in jax.tree_util.tree_leaves(self.variables.get("params", {}))
+        )
+
+
+def init_model_variables(
+    module: nn.Module, in_channels: int, rng: Optional[jax.Array] = None
+) -> Dict[str, Any]:
+    """Initialise params/batch_stats with a small dummy spatial shape (conv
+    params are shape-independent)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, in_channels), dtype=jnp.float32)
+    # jit the whole init so it compiles (and caches) as one XLA program
+    # instead of dispatching each layer's initialiser eagerly.
+    init_fn = jax.jit(lambda r, d: module.init(r, d, train=False))
+    variables = init_fn(rng, dummy)
+    return dict(variables)
+
+
+def create_model_on_device(
+    device_num: int, model_struc_dict: dict, rng: Optional[jax.Array] = None,
+    dtype=None,
+) -> ModelBundle:
+    """Build + initialise a model (reference model_2d.py:10-39). The
+    `device_num` argument is kept for API parity; JAX placement is handled
+    by the default device / shardings."""
+    module = create_model(model_struc_dict, dtype=dtype)
+    in_channels = model_struc_dict.get("in_channels", 1)
+    variables = init_model_variables(module, in_channels, rng)
+    logging.info(f"Model created (device group {device_num}).")
+    return ModelBundle(
+        module=module, variables=variables, model_struc_dict=dict(model_struc_dict)
+    )
+
+
+def create_model_from_file(
+    weights_fn: Path, device_num: int = 0, dtype=None
+) -> Tuple[ModelBundle, int, dict]:
+    """Rebuild architecture + weights + label codes from a checkpoint file
+    (reference model_2d.py:42-57)."""
+    weights_fn = Path(weights_fn).resolve()
+    logging.info("Loading model dictionary from file.")
+    ckpt = load_checkpoint(weights_fn)
+    struc = ckpt["model_struc_dict"]
+    bundle = create_model_on_device(device_num, struc, dtype=dtype)
+    # Restore saved weights over the freshly initialised pytree.
+    restored = serialization.from_state_dict(
+        bundle.variables, ckpt["model_state_dict"]
+    )
+    bundle.variables = restored
+    bundle.label_codes = ckpt.get("label_codes", {})
+    return bundle, struc["classes"], bundle.label_codes

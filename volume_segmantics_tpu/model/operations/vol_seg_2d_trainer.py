@@ -1,0 +1,544 @@
+"""2D segmentation trainer: jitted train/eval steps, LR finder, OneCycle
+schedule, encoder freezing, early stopping, output figures.
+
+Behavioral parity with reference
+volume_segmantics/model/operations/vol_seg_2d_trainer.py:35-535, redesigned
+TPU-first:
+
+- ONE jitted train step fuses: uint8->float conversion, the full random
+  augmentation stack (ops/augment.py), ImageNet normalisation, one-hot
+  target prep, forward, loss, backward, and the AdamW update. The host only
+  feeds uint8 numpy batches.
+- Learning rate is a scalar *argument* to the step (no recompile when the
+  schedule changes between LR-finder and OneCycle phases).
+- Encoder-conv freezing (reference :102-116) is a static zero-mask over the
+  gradient/update pytree, letting XLA dead-code-eliminate the frozen
+  backward convolutions during the frozen phase.
+- BatchNorm statistics live in `batch_stats` and always update in training
+  mode, matching torch's behaviour for requires_grad=False convs.
+"""
+
+import csv
+import logging
+import math
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import matplotlib as mpl
+import numpy as np
+import optax
+
+mpl.use("Agg")
+from matplotlib import pyplot as plt
+from tqdm import tqdm
+
+import volume_segmantics_tpu.utils.base_data_utils as utils
+import volume_segmantics_tpu.utils.config as cfg
+from volume_segmantics_tpu.data.dataloaders import get_2d_training_dataloaders
+from volume_segmantics_tpu.data.losses import get_loss_fn
+from volume_segmantics_tpu.data.metrics import get_eval_metric_fn
+from volume_segmantics_tpu.model.model_2d import ModelBundle, create_model_on_device
+from volume_segmantics_tpu.ops.augment import augment_batch
+from volume_segmantics_tpu.utils.early_stopping import EarlyStopping
+
+
+def _freeze_mask(params, frozen: bool):
+    """0/1 mask pytree: 0 for encoder conv kernels when frozen (the
+    reference freezes parameters whose names contain both 'encoder' and
+    'conv', reference trainer :102-108)."""
+
+    def label(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        is_enc_conv = any("encoder" in n for n in names) and any(
+            "conv" in n for n in names
+        )
+        return 0.0 if (frozen and is_enc_conv) else 1.0
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class VolSeg2dTrainer:
+    """Trains a 2d model and outputs loss curves and example predictions."""
+
+    def __init__(
+        self,
+        image_dir_path: Path,
+        label_dir_path: Path,
+        labels: Union[int, dict],
+        settings: SimpleNamespace,
+    ):
+        self.training_loader, self.validation_loader = get_2d_training_dataloaders(
+            image_dir_path, label_dir_path, settings
+        )
+        self.label_no = labels if isinstance(labels, int) else len(labels)
+        self.codes = labels if isinstance(labels, dict) else {}
+        self.settings = settings
+        # Params for learning rate finder (reference trainer :62-67)
+        self.starting_lr = float(settings.starting_lr)
+        self.end_lr = float(settings.end_lr)
+        self.log_lr_ratio = self._calculate_log_lr_ratio()
+        self.lr_find_epochs = settings.lr_find_epochs
+        self.lr_reduce_factor = settings.lr_reduce_factor
+        # Params for model training
+        self.model_device_num = int(getattr(settings, "cuda_device", 0))
+        self.patience = settings.patience
+        self.loss_fn = get_loss_fn(settings)
+        self.eval_metric_fn = get_eval_metric_fn(settings)
+        self.model_struc_dict = self._get_model_struc_dict(settings)
+        self.image_size = int(settings.image_size)
+        self.compute_dtype = jnp.dtype(
+            getattr(settings, "compute_dtype", cfg.COMPUTE_DTYPE)
+        )
+        self.augment_on_device = bool(getattr(settings, "augment", True))
+        seed = int(getattr(settings, "seed", 0))
+        self._rng = jax.random.PRNGKey(seed)
+        self.avg_train_losses = []
+        self.avg_valid_losses = []
+        self.avg_eval_scores = []
+        self.bundle: Optional[ModelBundle] = None
+        self.opt_state = None
+        self._train_step = None
+        self._eval_step = None
+        self._weight_decay = float(getattr(settings, "weight_decay", 0.01))
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+
+    def _get_model_struc_dict(self, settings):
+        model_struc_dict = dict(settings.model)
+        model_struc_dict["type"] = utils.get_model_type(settings)
+        model_struc_dict["in_channels"] = cfg.MODEL_INPUT_CHANNELS
+        model_struc_dict["classes"] = self.label_no
+        return model_struc_dict
+
+    def _calculate_log_lr_ratio(self):
+        return math.log(self.end_lr / self.starting_lr)
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _create_model_and_optimiser(self, learning_rate, frozen=False):
+        logging.info("Setting up the model on device.")
+        self.bundle = create_model_on_device(
+            self.model_device_num,
+            self.model_struc_dict,
+            rng=self._next_rng(),
+            dtype=self.compute_dtype,
+        )
+        n_params = self.bundle.count_parameters()
+        mask = _freeze_mask(self.bundle.params, frozen)
+        n_trainable = int(
+            sum(
+                float(m) * np.prod(np.asarray(p).shape)
+                for m, p in zip(
+                    jax.tree_util.tree_leaves(mask),
+                    jax.tree_util.tree_leaves(self.bundle.params),
+                )
+            )
+        )
+        logging.info(
+            f"Model has {n_trainable} trainable parameters, "
+            f"{n_params} total parameters."
+        )
+        self._tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(self._weight_decay),
+        )
+        self.opt_state = self._tx.init(self.bundle.params)
+        self._build_steps(frozen)
+        logging.info("Trainer created.")
+
+    def _build_steps(self, frozen: bool):
+        """Compile the fused train step and the eval step for the current
+        freeze configuration."""
+        module = self.bundle.module
+        loss_fn = self.loss_fn
+        eval_fn = self.eval_metric_fn
+        tx = self._tx
+        num_labels = self.label_no
+        size = self.image_size
+        cdtype = self.compute_dtype
+        augment = self.augment_on_device
+        mask_tree = _freeze_mask(self.bundle.params, frozen)
+        mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
+
+        def prep(images_u8, masks_u8, rng, train):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            msks = masks_u8.astype(jnp.int32)
+            if train and augment:
+                imgs, msks = augment_batch(rng, imgs, msks, size)
+            x = (imgs - mean) / std
+            x = x[..., None].astype(cdtype)  # NHWC, C=1
+            targets = jax.nn.one_hot(msks, num_labels, dtype=jnp.float32)
+            targets_nchw = jnp.transpose(targets, (0, 3, 1, 2))
+            return x, targets_nchw
+
+        def train_step(params, batch_stats, opt_state, images_u8, masks_u8, lr, rng):
+            aug_rng, dropout_rng = jax.random.split(rng)
+            x, targets = prep(images_u8, masks_u8, aug_rng, train=True)
+
+            def compute_loss(p):
+                logits, mutated = module.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
+                return loss_fn(logits_nchw, targets), mutated["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+                params
+            )
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u, m: -lr * u * m, updates, mask_tree
+            )
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt_state, loss
+
+        def eval_step(params, batch_stats, images_u8, masks_u8):
+            x, targets = prep(images_u8, masks_u8, None, train=False)
+            logits = module.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
+            loss = loss_fn(logits_nchw, targets)
+            probs = jax.nn.softmax(logits_nchw.astype(jnp.float32), axis=1)
+            score = eval_fn(probs, targets)
+            return loss, score
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # Loss / metric / freezing helpers kept for API parity
+    # ------------------------------------------------------------------
+
+    def _count_parameters(self) -> int:
+        return self.bundle.count_parameters()
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+
+    def train_model(
+        self,
+        output_path: Path,
+        num_epochs: int,
+        patience: int,
+        create: bool = True,
+        frozen: bool = False,
+    ) -> None:
+        """Train for `num_epochs` with an automatically determined learning
+        rate (reference trainer :163-274)."""
+        train_losses, valid_losses, eval_scores = [], [], []
+
+        if create:
+            self._create_model_and_optimiser(self.starting_lr, frozen=frozen)
+            lr_to_use = self._run_lr_finder()
+            self._create_model_and_optimiser(lr_to_use, frozen=frozen)
+            early_stopping = self._create_early_stopping(output_path, patience)
+        else:
+            # Model already partially trained: reduce LR bounds and reload
+            self.starting_lr /= self.lr_reduce_factor
+            self.end_lr /= self.lr_reduce_factor
+            self.log_lr_ratio = self._calculate_log_lr_ratio()
+            self._load_in_model_and_optimizer(
+                self.starting_lr, output_path, frozen=frozen, optimizer=False
+            )
+            lr_to_use = self._run_lr_finder()
+            min_loss = self._load_in_model_and_optimizer(
+                self.starting_lr, output_path, frozen=frozen, optimizer=False
+            )
+            early_stopping = self._create_early_stopping(
+                output_path, patience, best_score=-min_loss
+            )
+
+        steps_per_epoch = max(len(self.training_loader), 1)
+        lr_schedule = self._create_oc_lr_schedule(num_epochs, lr_to_use)
+        global_step = 0
+
+        for epoch in range(1, num_epochs + 1):
+            tic = time.perf_counter()
+            logging.info(f"Epoch {epoch} of {num_epochs}")
+            for images, masks, _ in tqdm(
+                self.training_loader,
+                desc="Training batch",
+                bar_format=cfg.TQDM_BAR_FORMAT,
+            ):
+                lr = float(lr_schedule(global_step))
+                loss = self._train_one_batch(images, masks, lr)
+                global_step += 1
+                train_losses.append(loss)
+
+            for images, masks, _ in tqdm(
+                self.validation_loader,
+                desc="Validation batch",
+                bar_format=cfg.TQDM_BAR_FORMAT,
+            ):
+                loss, score = self._eval_step(
+                    self.bundle.params, self.bundle.batch_stats, images, masks
+                )
+                valid_losses.append(float(loss))
+                eval_scores.append(float(score))
+
+            toc = time.perf_counter()
+            self.avg_train_losses.append(float(np.average(train_losses)))
+            self.avg_valid_losses.append(float(np.average(valid_losses)))
+            self.avg_eval_scores.append(float(np.average(eval_scores)))
+            logging.info(
+                f"Epoch {epoch}. Training loss: {self.avg_train_losses[-1]}, "
+                f"Validation Loss: {self.avg_valid_losses[-1]}. "
+                f"{self.settings.eval_metric}: {self.avg_eval_scores[-1]}"
+            )
+            logging.info(f"Time taken for epoch {epoch}: {toc - tic:0.2f} seconds")
+            train_losses, valid_losses, eval_scores = [], [], []
+
+            early_stopping(
+                self.avg_valid_losses[-1], self, None, self.codes
+            )
+            if early_stopping.early_stop:
+                logging.info("Early stopping")
+                break
+
+        self._load_in_weights(output_path)
+
+    def _train_one_batch(self, images, masks, lr) -> float:
+        params, bs, opt_state, loss = self._train_step(
+            self.bundle.params,
+            self.bundle.batch_stats,
+            self.opt_state,
+            images,
+            masks,
+            lr,
+            self._next_rng(),
+        )
+        self.bundle.variables = {"params": params, "batch_stats": bs}
+        self.opt_state = opt_state
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    # Checkpoint load
+    # ------------------------------------------------------------------
+
+    def _load_in_model_and_optimizer(
+        self, learning_rate, output_path, frozen=False, optimizer=False
+    ):
+        self._create_model_and_optimiser(learning_rate, frozen=frozen)
+        logging.info("Loading in weights from saved checkpoint.")
+        return self._load_in_weights(output_path, optimizer=optimizer)
+
+    def _load_in_weights(self, output_path, optimizer=False):
+        from flax import serialization
+
+        from volume_segmantics_tpu.models.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(output_path)
+        logging.info("Loading model weights.")
+        self.bundle.variables = serialization.from_state_dict(
+            self.bundle.variables, ckpt["model_state_dict"]
+        )
+        if optimizer and ckpt.get("optimizer_state_dict"):
+            logging.info("Loading optimizer weights.")
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, ckpt["optimizer_state_dict"]
+            )
+        return ckpt.get("loss_val", np.inf)
+
+    # ------------------------------------------------------------------
+    # LR finder (reference trainer :298-383)
+    # ------------------------------------------------------------------
+
+    def _run_lr_finder(self):
+        logging.info("Finding learning rate for model.")
+        lr_find_loss, lr_find_lr = self._lr_finder()
+        lr_to_use = self._find_lr_from_graph(lr_find_loss, lr_find_lr)
+        logging.info(f"LR to use {lr_to_use}")
+        return lr_to_use
+
+    def _lr_exp_stepper(self, step):
+        """Exponentially increase LR from starting_lr towards end_lr over
+        the finder epochs (reference trainer :385-393)."""
+        total = self.lr_find_epochs * max(len(self.training_loader), 1)
+        return self.starting_lr * math.exp(step * self.log_lr_ratio / total)
+
+    def _lr_finder(self, smoothing=0.05):
+        lr_find_loss = []
+        lr_find_lr = []
+        iters = 0
+        logging.info(
+            f"Training for {self.lr_find_epochs} epochs to create a learning "
+            "rate plot."
+        )
+        stop = False
+        for i in range(self.lr_find_epochs):
+            if stop:
+                break
+            for images, masks, _ in tqdm(
+                self.training_loader,
+                desc=f"Epoch {i + 1}, batch number",
+                bar_format=cfg.TQDM_BAR_FORMAT,
+            ):
+                lr_step = self._lr_exp_stepper(iters)
+                loss = self._train_one_batch(images, masks, lr_step)
+                lr_find_lr.append(lr_step)
+                if iters == 0:
+                    lr_find_loss.append(loss)
+                else:
+                    loss = smoothing * loss + (1 - smoothing) * lr_find_loss[-1]
+                    lr_find_loss.append(loss)
+                if loss > 1 and iters > len(self.training_loader) // 1.333:
+                    stop = True
+                    break
+                iters += 1
+        if getattr(self.settings, "plot_lr_graph", False):
+            try:
+                import termplotlib as tpl
+
+                fig = tpl.figure()
+                fig.plot(
+                    np.log10(lr_find_lr),
+                    lr_find_loss,
+                    width=50,
+                    height=30,
+                    xlabel="Log10 Learning Rate",
+                )
+                fig.show()
+            except ImportError:
+                logging.info("termplotlib not available; skipping LR plot.")
+        return lr_find_loss, lr_find_lr
+
+    @staticmethod
+    def _find_lr_from_graph(lr_find_loss, lr_find_lr) -> float:
+        """LR at the steepest loss descent / LR_DIVISOR, with a default
+        fallback (reference trainer :347-383)."""
+        default_min_lr = cfg.DEFAULT_MIN_LR
+        losses = np.array([float(x) for x in lr_find_loss])
+        try:
+            gradients = np.gradient(losses)
+            min_gradient = gradients.min()
+            if min_gradient < 0:
+                min_loss_grad_idx = gradients.argmin()
+            else:
+                logging.info(
+                    f"Minimum gradient: {min_gradient} was positive, "
+                    "returning default value instead."
+                )
+                return default_min_lr
+        except Exception as e:
+            logging.info(f"Failed to compute gradients, returning default value. {e}")
+            return default_min_lr
+        min_lr = lr_find_lr[min_loss_grad_idx]
+        return min_lr / cfg.LR_DIVISOR
+
+    # ------------------------------------------------------------------
+    # Schedules / early stopping
+    # ------------------------------------------------------------------
+
+    def _create_oc_lr_schedule(self, num_epochs, lr_to_use):
+        """OneCycle (cosine) schedule with torch OneCycleLR defaults
+        (div_factor=25, final_div_factor=1e4), reference trainer :401-408."""
+        total_steps = num_epochs * max(len(self.training_loader), 1)
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=lr_to_use,
+            pct_start=self.settings.pct_lr_inc,
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
+
+    def _create_early_stopping(self, output_path, patience, best_score=None):
+        return EarlyStopping(
+            patience=patience,
+            verbose=True,
+            path=output_path,
+            model_dict=self.model_struc_dict,
+            best_score=best_score,
+        )
+
+    # ------------------------------------------------------------------
+    # Output figures (reference trainer :434-535)
+    # ------------------------------------------------------------------
+
+    def output_loss_fig(self, model_out_path: Path) -> None:
+        """Save training/validation loss curves + CSV stats."""
+        fig = plt.figure(figsize=(10, 8))
+        plt.plot(
+            range(1, len(self.avg_train_losses) + 1),
+            self.avg_train_losses,
+            label="Training Loss",
+        )
+        plt.plot(
+            range(1, len(self.avg_valid_losses) + 1),
+            self.avg_valid_losses,
+            label="Validation Loss",
+        )
+        minposs = self.avg_valid_losses.index(min(self.avg_valid_losses)) + 1
+        plt.axvline(minposs, linestyle="--", color="r", label="Early Stopping Checkpoint")
+        plt.xlabel("epochs")
+        plt.ylabel("loss")
+        plt.xlim(0, len(self.avg_train_losses) + 1)
+        plt.grid(True)
+        plt.legend()
+        plt.tight_layout()
+        output_dir = model_out_path.parent
+        fig_out_pth = output_dir / f"{model_out_path.stem}_loss_plot.png"
+        logging.info(f"Saving figure of training/validation losses to {fig_out_pth}")
+        fig.savefig(fig_out_pth, bbox_inches="tight")
+        plt.close(fig)
+        rows = zip(
+            range(len(self.avg_train_losses)),
+            self.avg_train_losses,
+            self.avg_valid_losses,
+            self.avg_eval_scores,
+        )
+        with open(output_dir / f"{model_out_path.stem}_train_stats.csv", "w") as f:
+            writer = csv.writer(f)
+            writer.writerow(("Epoch", "Train Loss", "Valid Loss", "Eval Score"))
+            for row in rows:
+                writer.writerow(row)
+
+    def output_prediction_figure(self, model_path: Path) -> None:
+        """Save a montage of up to 4 validation images with ground truth and
+        model prediction."""
+        images, masks, _ = next(iter(self.validation_loader))
+        x = (images.astype(np.float32) / 255.0 - cfg.IMAGENET_MEAN) / cfg.IMAGENET_STD
+        logits = self.bundle.module.apply(
+            self.bundle.variables,
+            jnp.asarray(x)[..., None].astype(self.compute_dtype),
+            train=False,
+        )
+        labels = np.asarray(jnp.argmax(logits, axis=-1))
+
+        bs = images.shape[0]
+        rows = min(bs, 4)
+        fig = plt.figure(figsize=(12, 16))
+        columns = 3
+        j = 0
+        for i in range(columns * rows)[::3]:
+            col1 = fig.add_subplot(rows, columns, i + 1)
+            plt.imshow(images[j], cmap="gray")
+            col2 = fig.add_subplot(rows, columns, i + 2)
+            plt.imshow(masks[j], cmap="gray")
+            col3 = fig.add_subplot(rows, columns, i + 3)
+            plt.imshow(labels[j], cmap="gray")
+            j += 1
+            if i == 0:
+                col1.title.set_text("Data")
+                col2.title.set_text("Ground Truth")
+                col3.title.set_text("Prediction")
+        plt.suptitle(f"Predictions for {model_path.name}", fontsize=16)
+        plt_out_pth = model_path.parent / f"{model_path.stem}_prediction_image.png"
+        logging.info(f"Saving example image predictions to {plt_out_pth}")
+        plt.savefig(plt_out_pth, dpi=300)
+        plt.close(fig)

@@ -1,0 +1,138 @@
+"""Shared Flax building blocks for encoders/decoders.
+
+All modules are NHWC (TPU-native layout). `dtype` is the compute dtype
+(bfloat16 by default in the trainer for MXU throughput); parameters are
+always stored float32. BatchNorm statistics are computed in float32 for
+stability and the result is cast back to the compute dtype.
+
+Naming convention: convolution submodules carry "conv" in their names and
+norms carry "bn"/"norm" — the trainer's encoder-freeze predicate matches
+parameter paths containing both "encoder" and "conv", mirroring the
+reference's named_parameters filter (reference
+model/operations/vol_seg_2d_trainer.py:102-116).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBnAct(nn.Module):
+    """conv (no bias) -> BatchNorm -> activation; smp's Conv2dReLU analogue."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SYMMETRIC_K2"  # symmetric k//2 padding (torch default)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    act: Optional[Callable] = nn.relu
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        padding = self.padding
+        if padding == "SYMMETRIC_K2":
+            kh, kw = self.kernel_size
+            dh, dw = self.dilation
+            ph = ((kh - 1) * dh) // 2
+            pw = ((kw - 1) * dw) // 2
+            padding = [(ph, ph), (pw, pw)]
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=padding,
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=not self.use_norm,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+            x = x.astype(self.dtype)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def upsample(x: jnp.ndarray, factor: int = 2, method: str = "nearest") -> jnp.ndarray:
+    """NHWC spatial upsampling (replaces torch F.interpolate)."""
+    n, h, w, c = x.shape
+    import jax
+
+    return jax.image.resize(x, (n, h * factor, w * factor, c), method=method).astype(
+        x.dtype
+    )
+
+
+def resize_to(x: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> jnp.ndarray:
+    """Resize NHWC tensor to an explicit spatial shape."""
+    import jax
+
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_h, out_w, c), method=method).astype(x.dtype)
+
+
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding=((1, 1), (1, 1))):
+    """Max pooling with explicit symmetric padding (torch MaxPool2d(3,2,1))."""
+    return nn.max_pool(
+        x,
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((padding[0][0], padding[0][1]), (padding[1][0], padding[1][1])),
+    )
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+class SqueezeExcite(nn.Module):
+    """SE block (used by EfficientNet and ResNeSt-adjacent models)."""
+
+    features: int
+    se_features: int
+    gate: Callable = nn.sigmoid
+    act: Callable = nn.silu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = global_avg_pool(x)
+        s = nn.Conv(self.se_features, (1, 1), dtype=self.dtype, name="conv_reduce")(s)
+        s = self.act(s)
+        s = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_expand")(s)
+        return x * self.gate(s)
+
+
+class SCSEModule(nn.Module):
+    """Concurrent spatial & channel SE (smp attention option)."""
+
+    in_channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = global_avg_pool(x)
+        c = nn.Conv(
+            self.in_channels // self.reduction, (1, 1), dtype=self.dtype, name="conv_c1"
+        )(c)
+        c = nn.relu(c)
+        c = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype, name="conv_c2")(c)
+        cse = x * nn.sigmoid(c)
+        s = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv_s")(x)
+        sse = x * nn.sigmoid(s)
+        return cse + sse

@@ -1,0 +1,283 @@
+"""On-device training augmentation pipeline (pure JAX, fused into train step).
+
+Re-creates, parameter-for-parameter, the albumentations stack the reference
+applies on the host with 4 dataloader workers (reference
+data/augmentations.py:68-101):
+
+    RandomSizedCrop(min_max_height=(S/2, S), (S, S), p=0.5)
+    VerticalFlip(p=0.5)
+    RandomRotate90(p=0.5)
+    Transpose(p=0.5)
+    OneOf([ElasticTransform(alpha=120, sigma=8.4, alpha_affine=4.8),
+           GridDistortion(num_steps=5, distort_limit=0.3),
+           OpticalDistortion(distort_limit=1, shift_limit=0.5)], p=0.5)
+    CLAHE(clip_limit=(1, 4), tile_grid=(8, 8), p=0.5)
+    OneOf([RandomBrightnessContrast(0.2, 0.2),
+           RandomGamma((80, 120))], p=0.5)
+
+TPU-first design: all geometric transforms are composed into a single
+source-coordinate field and realised with ONE bilinear gather per image
+(nearest for the mask); intensity ops are pointwise; CLAHE runs as a
+segment-sum histogram kernel. The whole pipeline is vmapped over the batch
+and jitted together with the forward/backward pass, so augmentation runs on
+the MXU/VPU instead of host CPUs.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from volume_segmantics_tpu.ops.clahe import clahe
+from volume_segmantics_tpu.ops.warp import (
+    bilinear_sample,
+    gaussian_blur_2d,
+    identity_coords,
+    nearest_sample,
+)
+
+# Albumentations parameters (reference data/augmentations.py:77-100)
+ELASTIC_ALPHA = 120.0
+ELASTIC_SIGMA = 120 * 0.07
+ELASTIC_ALPHA_AFFINE = 120 * 0.04
+GRID_NUM_STEPS = 5
+GRID_DISTORT_LIMIT = 0.3
+OPTICAL_DISTORT_LIMIT = 1.0
+OPTICAL_SHIFT_LIMIT = 0.5
+CLAHE_CLIP_RANGE = (1.0, 4.0)
+BRIGHTNESS_LIMIT = 0.2
+CONTRAST_LIMIT = 0.2
+GAMMA_RANGE = (0.8, 1.2)
+
+
+def _crop_resize_coords(rng, coords, size):
+    """RandomSizedCrop source mapping: square crop of side c ~ U[S/2, S]
+    at a uniform location, resized back to (S, S) (cv2.resize convention:
+    src = (dst + 0.5) * scale - 0.5)."""
+    k_side, k_y, k_x = jax.random.split(rng, 3)
+    c = jax.random.randint(k_side, (), size // 2, size + 1)
+    h_start = jax.random.uniform(k_y, ())
+    w_start = jax.random.uniform(k_x, ())
+    top = jnp.floor((size - c) * h_start).astype(jnp.float32)
+    left = jnp.floor((size - c) * w_start).astype(jnp.float32)
+    scale = c.astype(jnp.float32) / size
+    y = (coords[0] + 0.5) * scale - 0.5 + top
+    x = (coords[1] + 0.5) * scale - 0.5 + left
+    return jnp.stack([y, x])
+
+
+def _rot90_inverse_coords(coords, k, size):
+    """Map output coords of np.rot90(img, k) back to input coords."""
+    s = float(size - 1)
+    y, x = coords[0], coords[1]
+    branches = [
+        lambda: jnp.stack([y, x]),
+        lambda: jnp.stack([x, s - y]),
+        lambda: jnp.stack([s - y, s - x]),
+        lambda: jnp.stack([s - x, y]),
+    ]
+    return jax.lax.switch(k, branches)
+
+
+def _elastic_coords(rng, coords, size):
+    """ElasticTransform: smoothed random displacement plus a small random
+    affine (reference augmentations.py:90-92 parameters)."""
+    k_dx, k_dy, k_aff = jax.random.split(rng, 3)
+    dx = gaussian_blur_2d(
+        jax.random.uniform(k_dx, (size, size), minval=-1.0, maxval=1.0),
+        ELASTIC_SIGMA,
+    ) * ELASTIC_ALPHA
+    dy = gaussian_blur_2d(
+        jax.random.uniform(k_dy, (size, size), minval=-1.0, maxval=1.0),
+        ELASTIC_SIGMA,
+    ) * ELASTIC_ALPHA
+    displaced = jnp.stack([coords[0] + dy, coords[1] + dx])
+
+    # Random affine from perturbing 3 control points of a centred square
+    # (albumentations' alpha_affine behaviour).
+    center = size // 2
+    ss = size // 3
+    pts1 = jnp.array(
+        [
+            [center + ss, center + ss],
+            [center + ss, center - ss],
+            [center - ss, center - ss],
+        ],
+        dtype=jnp.float32,
+    )
+    pts2 = pts1 + jax.random.uniform(
+        k_aff, (3, 2), minval=-ELASTIC_ALPHA_AFFINE, maxval=ELASTIC_ALPHA_AFFINE
+    )
+    # Solve the 2x3 affine mapping pts2 -> pts1 (dst -> src form).
+    ones = jnp.ones((3, 1), dtype=jnp.float32)
+    a_mat = jnp.concatenate([pts2, ones], axis=1)  # (3, 3)
+    sol = jnp.linalg.solve(a_mat, pts1)  # (3, 2): [y', x'] = [y x 1] @ sol
+    flat = displaced.reshape(2, -1)  # (2, S*S) rows y, x
+    hom = jnp.stack([flat[0], flat[1], jnp.ones_like(flat[0])], axis=1)  # (P, 3)
+    mapped = hom @ sol  # (P, 2)
+    return jnp.stack([mapped[:, 0], mapped[:, 1]]).reshape(2, size, size)
+
+
+def _grid_axis_map(rng, size):
+    """1D piecewise-linear index map for GridDistortion (albumentations
+    semantics: per-cell slope 1 + U(-limit, limit), partial last cell pinned
+    to the image edge)."""
+    step = size // GRID_NUM_STEPS
+    starts = list(range(0, size, step))
+    n_cells = len(starts)
+    factors = 1.0 + jax.random.uniform(
+        rng, (n_cells,), minval=-GRID_DISTORT_LIMIT, maxval=GRID_DISTORT_LIMIT
+    )
+    idx = jnp.arange(size, dtype=jnp.float32)
+    out = jnp.zeros((size,), dtype=jnp.float32)
+    prev = jnp.float32(0.0)
+    for i, start in enumerate(starts):
+        end = min(start + step, size)
+        n = end - start
+        partial_cell = start + step > size
+        cur = jnp.float32(size) if partial_cell else prev + step * factors[i]
+        if n > 1:
+            seg = prev + (idx - start) * (cur - prev) / (n - 1)
+        else:
+            seg = jnp.full((size,), prev)
+        in_cell = (idx >= start) & (idx < end)
+        out = jnp.where(in_cell, seg, out)
+        prev = cur
+    return out
+
+
+def _grid_coords(rng, coords, size):
+    k_y, k_x = jax.random.split(rng)
+    map_y = _grid_axis_map(k_y, size)
+    map_x = _grid_axis_map(k_x, size)
+    # Sample the 1D maps at the (possibly already transformed) coords via
+    # linear interpolation so grid distortion composes with other warps.
+    y = jnp.interp(coords[0], jnp.arange(size, dtype=jnp.float32), map_y)
+    x = jnp.interp(coords[1], jnp.arange(size, dtype=jnp.float32), map_x)
+    return jnp.stack([y, x])
+
+
+def _optical_coords(rng, coords, size):
+    """OpticalDistortion: radial lens model matching cv2
+    initUndistortRectifyMap with distCoeffs (k, k, 0, 0)."""
+    k_k, k_dx, k_dy = jax.random.split(rng, 3)
+    k = jax.random.uniform(
+        k_k, (), minval=-OPTICAL_DISTORT_LIMIT, maxval=OPTICAL_DISTORT_LIMIT
+    )
+    dx = jnp.round(
+        jax.random.uniform(k_dx, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
+    )
+    dy = jnp.round(
+        jax.random.uniform(k_dy, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
+    )
+    f = jnp.float32(size)
+    cx = size * 0.5 + dx
+    cy = size * 0.5 + dy
+    xn = (coords[1] - cx) / f
+    yn = (coords[0] - cy) / f
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + k * r2 + k * r2 * r2
+    x = f * xn * radial + cx
+    y = f * yn * radial + cy
+    return jnp.stack([y, x])
+
+
+def _geometric_coords(rng, size):
+    """Compose every geometric augmentation into one (2, S, S) source field.
+
+    Output -> source composition order is the reverse of the image-space
+    pipeline order (crop, flip, rot90, transpose, distortion)."""
+    keys = jax.random.split(rng, 10)
+    coords = identity_coords(size, size)
+    s = float(size - 1)
+
+    # OneOf distortion, p = 0.5
+    do_distort = jax.random.bernoulli(keys[0], 0.5)
+    branch = jax.random.randint(keys[1], (), 0, 3)
+    distorted = jax.lax.switch(
+        branch,
+        [
+            lambda r, c: _elastic_coords(r, c, size),
+            lambda r, c: _grid_coords(r, c, size),
+            lambda r, c: _optical_coords(r, c, size),
+        ],
+        keys[2],
+        coords,
+    )
+    coords = jnp.where(do_distort, distorted, coords)
+
+    # Transpose, p = 0.5 (inverse of transpose is itself: swap (y, x))
+    do_transpose = jax.random.bernoulli(keys[3], 0.5)
+    coords = jnp.where(do_transpose, coords[::-1], coords)
+
+    # RandomRotate90, p = 0.5, factor ~ U{0..3}
+    do_rot = jax.random.bernoulli(keys[4], 0.5)
+    k_rot = jax.random.randint(keys[5], (), 0, 4)
+    coords = jnp.where(do_rot, _rot90_inverse_coords(coords, k_rot, size), coords)
+
+    # VerticalFlip, p = 0.5 (self-inverse)
+    do_flip = jax.random.bernoulli(keys[6], 0.5)
+    coords = jnp.where(
+        do_flip, jnp.stack([s - coords[0], coords[1]]), coords
+    )
+
+    # RandomSizedCrop, p = 0.5
+    do_crop = jax.random.bernoulli(keys[7], 0.5)
+    coords = jnp.where(do_crop, _crop_resize_coords(keys[8], coords, size), coords)
+    return coords
+
+
+def _intensity(rng, img):
+    """CLAHE (p=0.5) then OneOf{brightness/contrast, gamma} (p=0.5) on a
+    float image in [0, 1]."""
+    keys = jax.random.split(rng, 7)
+    do_clahe = jax.random.bernoulli(keys[0], 0.5)
+    clip = jax.random.uniform(
+        keys[1], (), minval=CLAHE_CLIP_RANGE[0], maxval=CLAHE_CLIP_RANGE[1]
+    )
+    img = jnp.where(do_clahe, clahe(img, clip), img)
+
+    do_bcg = jax.random.bernoulli(keys[2], 0.5)
+    branch = jax.random.randint(keys[3], (), 0, 2)
+    alpha = 1.0 + jax.random.uniform(
+        keys[4], (), minval=-CONTRAST_LIMIT, maxval=CONTRAST_LIMIT
+    )
+    beta = jax.random.uniform(
+        keys[6], (), minval=-BRIGHTNESS_LIMIT, maxval=BRIGHTNESS_LIMIT
+    )
+    gamma = jax.random.uniform(
+        keys[5], (), minval=GAMMA_RANGE[0], maxval=GAMMA_RANGE[1]
+    )
+    bc = jnp.clip(img * alpha + beta, 0.0, 1.0)
+    gm = jnp.power(jnp.clip(img, 1e-7, 1.0), gamma)
+    adjusted = jnp.where(branch == 0, bc, gm)
+    return jnp.where(do_bcg, adjusted, img)
+
+
+def _augment_one(rng, img, mask, size):
+    k_geo, k_int = jax.random.split(rng)
+    coords = _geometric_coords(k_geo, size)
+    img_out = bilinear_sample(img, coords)
+    mask_out = nearest_sample(mask, coords)
+    img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
+    return img_out, mask_out
+
+
+@partial(jax.jit, static_argnames=("size",))
+def augment_batch(rng, images, masks, size):
+    """Augment a batch on device.
+
+    Args:
+        rng: PRNG key.
+        images: (N, S, S) float32 in [0, 1].
+        masks: (N, S, S) integer labels.
+        size: S (static).
+
+    Returns:
+        (images, masks) augmented, same shapes/dtypes.
+    """
+    keys = jax.random.split(rng, images.shape[0])
+    imgs, msks = jax.vmap(lambda k, i, m: _augment_one(k, i, m, size))(
+        keys, images, masks
+    )
+    return imgs, msks.astype(masks.dtype)

@@ -1,0 +1,90 @@
+"""Device-side image resampling primitives (pure JAX, jit/vmap friendly).
+
+These power the on-device augmentation pipeline: every geometric transform
+(crop-resize, flips/rotations, elastic/grid/optical distortion) is expressed
+as a source-coordinate field and realised with a single bilinear (image) or
+nearest (mask) gather. This replaces the reference's host-side
+albumentations/OpenCV remap calls (reference data/augmentations.py:12-110)
+with one fused XLA gather per sample.
+"""
+
+import jax.numpy as jnp
+
+
+def reflect101_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Map (possibly out-of-range) integer indices into [0, size) using
+    OpenCV BORDER_REFLECT_101 semantics (edge pixel not repeated):
+    -1 -> 1, size -> size - 2."""
+    if size == 1:
+        return jnp.zeros_like(idx)
+    period = 2 * (size - 1)
+    idx = jnp.abs(idx)
+    idx = idx % period
+    return jnp.where(idx >= size, period - idx, idx)
+
+
+def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample `img` (H, W) at float `coords` (2, H', W') = (y, x) source
+    positions, with reflect-101 borders. Returns (H', W') in img dtype
+    promoted to float32."""
+    h, w = img.shape
+    y, x = coords[0], coords[1]
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    wy = (y - y0).astype(jnp.float32)
+    wx = (x - x0).astype(jnp.float32)
+    y0r = reflect101_index(y0, h)
+    y1r = reflect101_index(y0 + 1, h)
+    x0r = reflect101_index(x0, w)
+    x1r = reflect101_index(x0 + 1, w)
+    imgf = img.astype(jnp.float32)
+    v00 = imgf[y0r, x0r]
+    v01 = imgf[y0r, x1r]
+    v10 = imgf[y1r, x0r]
+    v11 = imgf[y1r, x1r]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def nearest_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour sampling (for label masks) with reflect-101 borders."""
+    h, w = img.shape
+    y = jnp.round(coords[0]).astype(jnp.int32)
+    x = jnp.round(coords[1]).astype(jnp.int32)
+    y = reflect101_index(y, h)
+    x = reflect101_index(x, w)
+    return img[y, x]
+
+
+def identity_coords(height: int, width: int) -> jnp.ndarray:
+    """(2, H, W) float32 field of output pixel coordinates (y, x)."""
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    y = jnp.broadcast_to(ys, (height, width))
+    x = jnp.broadcast_to(xs, (height, width))
+    return jnp.stack([y, x])
+
+
+def gaussian_blur_2d(field: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of a (H, W) float field, truncated at 4 sigma.
+    Used to smooth elastic-transform displacement noise."""
+    radius = max(int(4.0 * sigma + 0.5), 1)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kernel = jnp.exp(-0.5 * (offs / sigma) ** 2)
+    kernel = kernel / kernel.sum()
+    import jax.lax as lax
+
+    def conv1d(arr, axis):
+        k = kernel.reshape((1, 1, -1, 1) if axis == 0 else (1, 1, 1, -1))
+        x = arr[None, None, :, :]
+        pad = [(radius, radius), (0, 0)] if axis == 0 else [(0, 0), (radius, radius)]
+        out = lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out[0, 0]
+
+    out = conv1d(field, axis=0)
+    out = conv1d(out, axis=1)
+    return out

@@ -1,0 +1,120 @@
+"""CLI argument parsers with extension + existence validation.
+
+Parity with reference volume_segmantics/utilities/arg_parsing.py:7-120.
+"""
+
+import argparse
+from pathlib import Path
+
+import volume_segmantics_tpu.utils.config as cfg
+
+
+def CheckExt(choices):
+    """Returns an argparse.Action validating file extension and existence
+    (reference arg_parsing.py:7-36)."""
+
+    class Act(argparse.Action):
+        def __call__(self, parser, namespace, fnames, option_string=None):
+            if isinstance(fnames, list):
+                for fname in fnames:
+                    self.check_path(parser, fname)
+            else:
+                self.check_path(parser, fnames)
+            setattr(namespace, self.dest, fnames)
+
+        def check_path(self, parser, fname):
+            fname = Path(fname)
+            if fname.suffix not in choices:
+                parser.error(
+                    f"Wrong filetype: file {fname} doesn't end with {choices}"
+                )
+            if not fname.is_file():
+                parser.error(f"The file {str(fname)} does not appear to exist.")
+
+    return Act
+
+
+def get_2d_training_parser() -> argparse.ArgumentParser:
+    """Training CLI parser (reference arg_parsing.py:39-80)."""
+    parser = argparse.ArgumentParser(
+        usage=(
+            "%(prog)s --data <path(s)/to/data/file(s)> --labels "
+            "<path(s)/to/segmentation/file(s)> --data_dir path/to/data_directory"
+        ),
+        description=(
+            "Train a 2d model on the 3d data and corresponding segmentation "
+            "provided in the files."
+        ),
+    )
+    parser.add_argument(
+        "-v", "--version", action="version", version=f"{parser.prog} version 1.0.0"
+    )
+    parser.add_argument(
+        "--" + cfg.TRAIN_DATA_ARG,
+        metavar="Path(s) to training image data volume(s)",
+        type=str,
+        action=CheckExt(cfg.TRAIN_DATA_EXT),
+        nargs="+",
+        required=True,
+        help="the path(s) to file(s) containing the imaging data volume for training",
+    )
+    parser.add_argument(
+        "--" + cfg.LABEL_DATA_ARG,
+        metavar="Path(s) to label volume(s)",
+        type=str,
+        action=CheckExt(cfg.LABEL_DATA_EXT),
+        nargs="+",
+        required=True,
+        help="the path(s) to file(s) containing a segmented volume for training",
+    )
+    parser.add_argument(
+        "--" + cfg.DATA_DIR_ARG,
+        metavar="Path to settings and output directory (optional)",
+        type=str,
+        nargs="?",
+        default=Path.cwd(),
+        help=(
+            'path to a directory containing the "volseg-settings", data will '
+            "also be output to this location"
+        ),
+    )
+    return parser
+
+
+def get_2d_prediction_parser() -> argparse.ArgumentParser:
+    """Prediction CLI parser (reference arg_parsing.py:83-120)."""
+    parser = argparse.ArgumentParser(
+        usage="%(prog)s path/to/model/file path/to/data/file [path/to/data_directory]",
+        description=(
+            "Predict segmentation of a 3d data volume using the 2d model provided."
+        ),
+    )
+    parser.add_argument(
+        "-v", "--version", action="version", version=f"{parser.prog} version 1.0.0"
+    )
+    parser.add_argument(
+        cfg.MODEL_PTH_ARG,
+        metavar="Model file path",
+        type=str,
+        action=CheckExt(cfg.MODEL_DATA_EXT),
+        help="the path to a file containing the model weights.",
+    )
+    parser.add_argument(
+        cfg.PREDICT_DATA_ARG,
+        metavar="Path to prediction data volume",
+        type=str,
+        action=CheckExt(cfg.PREDICT_DATA_EXT),
+        help="the path to an HDF5 file containing the imaging data to segment",
+    )
+    parser.add_argument(
+        "--" + cfg.DATA_DIR_ARG,
+        metavar="Path to settings and output directory (optional)",
+        type=str,
+        nargs="?",
+        default=Path.cwd(),
+        help=(
+            'path to a directory containing the "volseg-settings", data will '
+            "also be output to this location"
+        ),
+    )
+    return parser

@@ -1,0 +1,348 @@
+"""Host-side volume utilities: enums, file I/O, preprocessing math.
+
+Re-implements (TPU-first, torch-free) the behaviors of the reference
+volume_segmantics/utilities/base_data_utils.py:21-356. All array math here is
+NumPy on host; device-side equivalents live in `volume_segmantics_tpu.ops`.
+"""
+
+import logging
+import pathlib
+import sys
+from enum import Enum
+from itertools import chain, product
+from types import SimpleNamespace
+from typing import Tuple, Union
+
+import h5py as h5
+import imageio
+import numpy as np
+
+import volume_segmantics_tpu.utils.config as cfg
+
+
+class Quality(Enum):
+    """Prediction quality = number of prediction sweeps merged together.
+
+    LOW: single axis. MEDIUM: 3 axes. HIGH: 12 ways (3 axes x 4 in-plane
+    rotations). Mirrors reference base_data_utils.py:21-32.
+    """
+
+    LOW = 1
+    MEDIUM = 3
+    HIGH = 12
+
+
+class Axis(Enum):
+    """Volume axis enum (reference base_data_utils.py:35-39)."""
+
+    Z = 0
+    Y = 1
+    X = 2
+    ALL = 4
+
+
+class ModelType(Enum):
+    """Segmentation architectures (reference base_data_utils.py:42-50)."""
+
+    U_NET = 1
+    U_NET_PLUS_PLUS = 2
+    FPN = 3
+    DEEPLABV3 = 4
+    DEEPLABV3_PLUS = 5
+    MA_NET = 6
+    LINKNET = 7
+    PAN = 8
+
+
+def create_enum_from_setting(setting_str, enum):
+    """String -> Enum member with exit(1) on bad values
+    (reference base_data_utils.py:53-64)."""
+    if isinstance(setting_str, Enum):
+        return setting_str
+    try:
+        return enum[setting_str.upper()]
+    except KeyError:
+        options = [k.name for k in enum]
+        logging.error(
+            f"{enum.__name__}: {setting_str} is not valid. Options are {options}."
+        )
+        sys.exit(1)
+
+
+def get_prediction_quality(settings: SimpleNamespace) -> Quality:
+    return create_enum_from_setting(settings.quality, Quality)
+
+
+def get_model_type(settings: SimpleNamespace) -> ModelType:
+    return create_enum_from_setting(settings.model["type"], ModelType)
+
+
+def get_training_axis(settings: SimpleNamespace) -> Axis:
+    axis_setting = getattr(settings, "training_axes", "All")
+    return create_enum_from_setting(axis_setting, Axis)
+
+
+def get_prediction_axis(settings: SimpleNamespace) -> Axis:
+    axis_setting = getattr(settings, "prediction_axis", "Z")
+    return create_enum_from_setting(axis_setting, Axis)
+
+
+def setup_path_if_exists(input_param):
+    if isinstance(input_param, str):
+        return pathlib.Path(input_param)
+    if isinstance(input_param, pathlib.Path):
+        return input_param
+    return None
+
+
+def _device_hbm_gb() -> float:
+    """Free accelerator memory in GB; falls back to a big-device default.
+
+    TPU replacement for the CUDA free-memory query in reference
+    base_data_utils.py:104-122.
+    """
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit", 0)
+            in_use = stats.get("bytes_in_use", 0)
+            if limit:
+                return (limit - in_use) / 1024**3
+    except Exception:  # pragma: no cover - CPU backend has no memory_stats
+        pass
+    return 16.0
+
+
+def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
+    """Batch size from settings override or device-memory heuristic.
+
+    Mirrors the config surface of reference base_data_utils.py:104-122 but
+    queries TPU HBM (or uses static defaults) instead of CUDA.
+    """
+    override_key = "prediction_batch_size" if prediction else "batch_size"
+    override = getattr(settings, override_key, None)
+    if override:
+        logging.info(f"Using batch size {override} from settings.")
+        return int(override)
+    free_mem = _device_hbm_gb()
+    if free_mem < cfg.BIG_HBM_THRESHOLD:
+        batch_size = cfg.SMALL_BATCH
+    elif not prediction:
+        batch_size = cfg.BIG_TRAIN_BATCH
+    else:
+        batch_size = cfg.BIG_PRED_BATCH
+    logging.info(
+        f"Free device memory is {free_mem:0.2f} GB. Batch size will be "
+        f"{batch_size}."
+    )
+    return batch_size
+
+
+def crop_array_to_dims(array: np.ndarray, yx_dims) -> np.ndarray:
+    """Center-crop trailing (H, W) dims of a (..., H, W) array.
+
+    Torch-free equivalent of reference base_data_utils.py:125-129
+    (torchvision center_crop): crop offsets use round((dim - crop)/2) which,
+    for even differences, matches integer (dim - crop)//2.
+    """
+    h, w = array.shape[-2], array.shape[-1]
+    ch, cw = int(yx_dims[0]), int(yx_dims[1])
+    top = int(round((h - ch) / 2.0))
+    left = int(round((w - cw) / 2.0))
+    return array[..., top : top + ch, left : left + cw]
+
+
+def rotate_array_to_axis(array: np.ndarray, axis: Axis = Axis.Z) -> np.ndarray:
+    """Swap axes so `axis` becomes the leading (slicing) dim
+    (reference base_data_utils.py:132-138). Involutive."""
+    if axis == Axis.Z:
+        return array
+    if axis == Axis.Y:
+        return array.swapaxes(0, 1)
+    if axis == Axis.X:
+        return array.swapaxes(0, 2)
+
+
+def one_hot_encode_array(input_array: np.ndarray, num_labels: int) -> np.ndarray:
+    """Label volume -> (num_labels, *shape) uint8 one-hot
+    (reference base_data_utils.py:141-147)."""
+    out = np.zeros((num_labels, input_array.size), dtype=np.uint8)
+    out[input_array.ravel(), np.arange(input_array.size)] = 1
+    out.shape = (num_labels,) + input_array.shape
+    return out
+
+
+def downsample_data(data: np.ndarray, factor: int = 2) -> np.ndarray:
+    """2x block-mean downsample with ceil-shaped edges.
+
+    Matches skimage.measure.block_reduce(data, (f,f,f), np.nanmean) as used
+    by reference base_data_utils.py:161-163: the array is padded with zeros
+    to a multiple of `factor` and the block function is nan-aware mean (so
+    padded zeros participate in edge-block means, and NaNs are ignored).
+    """
+    logging.info(f"Downsampling data by a factor of {factor}.")
+    f = factor
+    pads = [(0, (-s) % f) for s in data.shape]
+    padded = np.pad(data.astype(np.float64, copy=False), pads, constant_values=0)
+    z, y, x = padded.shape
+    blocks = padded.reshape(z // f, f, y // f, f, x // f, f)
+    with np.errstate(invalid="ignore"):
+        return np.nanmean(blocks, axis=(1, 3, 5))
+
+
+def numpy_from_tiff(path) -> np.ndarray:
+    """Multipage TIFF -> numpy volume (reference base_data_utils.py:166-176)."""
+    return np.asarray(imageio.volread(path))
+
+
+def numpy_from_hdf5(path, hdf5_path: str = "/data", nexus: bool = False):
+    """HDF5/NXS file -> (volume, chunking). NXS files fall back through the
+    standard Diamond processed-data paths (reference base_data_utils.py:179-212).
+    """
+    with h5.File(path, "r") as data_handle:
+        if nexus:
+            try:
+                dataset = data_handle["processed/result/data"]
+            except KeyError:
+                logging.error(
+                    "NXS file: Couldn't find data at 'processed/result/data' "
+                    "trying another path."
+                )
+                try:
+                    dataset = data_handle["entry/final_result_tomo/data"]
+                except KeyError:
+                    logging.error(
+                        "NXS file: Could not find entry at "
+                        "entry/final_result_tomo/data, exiting!"
+                    )
+                    sys.exit(1)
+        else:
+            dataset = data_handle[hdf5_path]
+        input_data_chunking = dataset.chunks
+        return dataset[()], input_data_chunking
+
+
+def get_numpy_from_path(
+    path: pathlib.Path, internal_path: str = "/data"
+) -> Tuple[np.ndarray, Union[Tuple[int, ...], bool, None]]:
+    """Dispatch volume loading on file suffix (reference
+    base_data_utils.py:215-233)."""
+    if path.suffix in cfg.TIFF_SUFFIXES:
+        return numpy_from_tiff(path), True
+    elif path.suffix in cfg.HDF5_SUFFIXES:
+        nexus = path.suffix == ".nxs"
+        return numpy_from_hdf5(path, hdf5_path=internal_path, nexus=nexus)
+
+
+def sequential_labels(unique_labels: np.ndarray) -> bool:
+    """True when sorted unique labels increase in steps of one
+    (reference base_data_utils.py:236-240)."""
+    return not np.where(np.diff(unique_labels) != 1)[0].size
+
+
+def clip_to_uint8(
+    data: np.ndarray, data_mean: float, st_dev_factor: float
+) -> np.ndarray:
+    """Clip to mean +/- k*sigma, rescale to [0, 255] uint8.
+
+    Numerically mirrors reference base_data_utils.py:243-287 (nan-aware std,
+    NaN replacement with the mean, float conversion for integer data).
+    """
+    logging.info("Clipping data and converting to uint8.")
+    data_st_dev = np.nanstd(data)
+    num_vox = data.size
+    lower_bound = data_mean - (data_st_dev * st_dev_factor)
+    upper_bound = data_mean + (data_st_dev * st_dev_factor)
+    with np.errstate(invalid="ignore"):
+        gt_ub = (data > upper_bound).sum()
+        lt_lb = (data < lower_bound).sum()
+    logging.info(f"Lower bound: {lower_bound}, upper bound: {upper_bound}")
+    logging.info(
+        f"Voxels above upper bound: {gt_ub} ({gt_ub / num_vox * 100:.3f}%), "
+        f"below lower bound: {lt_lb} ({lt_lb / num_vox * 100:.3f}%)"
+    )
+    if np.isnan(data).any():
+        logging.info("Replacing NaN values.")
+        data = np.nan_to_num(data, copy=False, nan=data_mean)
+    if np.issubdtype(data.dtype, np.integer):
+        data = data.astype(float)
+    data = np.clip(data, lower_bound, upper_bound, out=data)
+    data = np.subtract(data, lower_bound, out=data)
+    data = np.divide(data, (upper_bound - lower_bound), out=data)
+    data = np.clip(data, 0.0, 1.0, out=data)
+    data = np.multiply(data, 255, out=data)
+    return data.astype(np.uint8)
+
+
+def get_num_of_ims(vol_shape: Tuple, axis_enum: Axis) -> int:
+    """Number of slices produced for an axis choice
+    (reference base_data_utils.py:290-305)."""
+    if axis_enum == Axis.ALL:
+        return sum(vol_shape)
+    return vol_shape[axis_enum.value]
+
+
+def get_axis_index_pairs(vol_shape: Tuple, axis_enum: Axis):
+    """Iterable of (axis_char, index) pairs covering the volume
+    (reference base_data_utils.py:308-328)."""
+    if axis_enum == Axis.ALL:
+        return chain(
+            product("z", range(vol_shape[0])),
+            product("y", range(vol_shape[1])),
+            product("x", range(vol_shape[2])),
+        )
+    return product(axis_enum.name.lower(), range(vol_shape[axis_enum.value]))
+
+
+def axis_index_to_slice(vol, axis: str, index: int):
+    """(axis, index) -> 2D slice of a 3D volume
+    (reference base_data_utils.py:331-348)."""
+    if axis == "z":
+        return vol[index, :, :]
+    if axis == "y":
+        return vol[:, index, :]
+    if axis == "x":
+        return vol[:, :, index]
+
+
+def save_data_to_hdf5(data, file_path, internal_path="/data", chunking=True):
+    """Write gzip-compressed HDF5, preserving input chunking
+    (reference base_data_utils.py:351-356)."""
+    logging.info(f"Saving data of shape {data.shape} to {file_path}.")
+    data = np.asarray(data)
+    if chunking not in (True, None) and len(chunking) != data.ndim:
+        # e.g. one-hot output is 4D while input chunking was 3D
+        chunking = True
+    with h5.File(file_path, "w") as f:
+        f.create_dataset(
+            internal_path,
+            data=data,
+            chunks=chunking,
+            compression=cfg.HDF5_COMPRESSION,
+        )
+
+
+def img_as_ubyte(data: np.ndarray) -> np.ndarray:
+    """Convert an array to uint8 with skimage.img_as_ubyte-compatible scaling
+    (needed because the slicer saves PNGs; reference data/slicers.py:127-129).
+    """
+    if data.dtype == np.uint8:
+        return data
+    if data.dtype == bool:
+        return data.astype(np.uint8) * 255
+    if np.issubdtype(data.dtype, np.floating):
+        if np.nanmin(data) < -1.0 or np.nanmax(data) > 1.0:
+            raise ValueError("Images of type float must be between -1 and 1.")
+        out = np.clip(data, 0, 1) * 255.0
+        return (out + 0.5).astype(np.uint8)
+    if np.issubdtype(data.dtype, np.unsignedinteger):
+        in_max = np.iinfo(data.dtype).max
+        return (data.astype(np.float64) * (255.0 / in_max) + 0.5).astype(np.uint8)
+    if np.issubdtype(data.dtype, np.signedinteger):
+        in_max = np.iinfo(data.dtype).max
+        out = np.clip(data, 0, None).astype(np.float64)
+        return (out * (255.0 / in_max) + 0.5).astype(np.uint8)
+    raise ValueError(f"Unsupported dtype for image conversion: {data.dtype}")

@@ -1,0 +1,59 @@
+"""Shared constants for the TPU-native Volume Segmantics rebuild.
+
+Behavioral parity notes reference the upstream package
+(DiamondLightSource/volume-segmantics): see
+reference volume_segmantics/utilities/config.py:1-42 for the constants this
+module mirrors. Values that were CUDA-specific are re-derived for TPU.
+"""
+
+# Parser argument names (reference utilities/config.py:4-8)
+TRAIN_DATA_ARG = "data"
+LABEL_DATA_ARG = "labels"
+MODEL_PTH_ARG = "model"
+PREDICT_DATA_ARG = "data"
+DATA_DIR_ARG = "data_dir"
+
+# Accepted file extensions (reference utilities/config.py:10-15)
+TIFF_SUFFIXES = {".tiff", ".tif"}
+HDF5_SUFFIXES = {".h5", ".hdf5", ".nxs"}
+TRAIN_DATA_EXT = {*HDF5_SUFFIXES, *TIFF_SUFFIXES}
+LABEL_DATA_EXT = {*HDF5_SUFFIXES, *TIFF_SUFFIXES}
+# ".vstpu" is this framework's native msgpack checkpoint; ".pytorch"/".pth"
+# are accepted for drop-in CLI compatibility with the reference.
+MODEL_DATA_EXT = {".pytorch", ".pth", ".vstpu"}
+PREDICT_DATA_EXT = {*HDF5_SUFFIXES, *TIFF_SUFFIXES}
+
+# Logging format (reference utilities/config.py:18-19)
+LOGGING_FMT = "%(asctime)s - %(levelname)s - %(message)s"
+LOGGING_DATE_FMT = "%d-%b-%y %H:%M:%S"
+
+# Settings yaml file locations (reference utilities/config.py:21-23)
+SETTINGS_DIR = "volseg-settings"
+TRAIN_SETTINGS_FN = "2d_model_train_settings.yaml"
+PREDICTION_SETTINGS_FN = "2d_model_predict_settings.yaml"
+
+TQDM_BAR_FORMAT = "{l_bar}{bar: 30}{r_bar}{bar: -30b}"
+
+HDF5_COMPRESSION = "gzip"
+
+# Batch sizing. The reference picks batch size from free CUDA memory
+# (reference utilities/base_data_utils.py:104-122) with train batch 12 /
+# predict batch 4 on a >8 GB GPU. On TPU, HBM is large (16 GB on v5e) and
+# the MXU favours bigger batches, so defaults are raised; they remain
+# settings-overridable via `batch_size` / `prediction_batch_size` keys.
+BIG_HBM_THRESHOLD = 8  # HBM (GB) above which the big batch sizes are used
+BIG_TRAIN_BATCH = 12  # Keep reference training semantics (LR finder, OneCycle)
+BIG_PRED_BATCH = 32  # Pure throughput: larger batches feed the MXU better
+SMALL_BATCH = 2
+IM_SIZE_DIVISOR = 32  # Image dims must be a multiple of this (model strides)
+MODEL_INPUT_CHANNELS = 1  # Grayscale input images
+
+DEFAULT_MIN_LR = 0.00075  # LR returned when the LR-finder heuristic fails
+LR_DIVISOR = 3  # Divide the min-gradient learning rate by this factor
+
+IMAGENET_MEAN = 0.449  # Single-channel ImageNet normalisation mean
+IMAGENET_STD = 0.226  # Single-channel ImageNet normalisation std
+
+# TPU-specific knobs (no reference equivalent)
+COMPUTE_DTYPE = "bfloat16"  # MXU-native matmul/conv dtype; params stay fp32
+PREFETCH_BATCHES = 2  # Host->device prefetch depth for the training pipeline
