@@ -17,6 +17,9 @@ os.environ.setdefault(
 
 import jax
 
+# The TPU plugin ignores the JAX_PLATFORMS env var in this image; force the
+# CPU backend through the config API so the virtual 8-device mesh works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -92,10 +92,12 @@ def create_model_from_file(
     ckpt = load_checkpoint(weights_fn)
     struc = ckpt["model_struc_dict"]
     bundle = create_model_on_device(device_num, struc, dtype=dtype)
-    # Restore saved weights over the freshly initialised pytree.
+    # Restore saved weights over the freshly initialised pytree and push
+    # them to device ONCE (msgpack restores host numpy arrays; leaving them
+    # on host would silently re-upload all params on every jitted call).
     restored = serialization.from_state_dict(
         bundle.variables, ckpt["model_state_dict"]
     )
-    bundle.variables = restored
+    bundle.variables = jax.tree_util.tree_map(jnp.asarray, restored)
     bundle.label_codes = ckpt.get("label_codes", {})
     return bundle, struc["classes"], bundle.label_codes

@@ -2,16 +2,16 @@
 
 Behavioral parity with reference
 volume_segmantics/model/operations/vol_seg_2d_predictor.py:16-136, redesigned
-TPU-first: the entire sweep — uint8 normalisation, batched forward passes
-(lax.map over fixed-size slice batches), softmax/argmax, max-prob gathering,
-centre-crop, and pairwise max-prob merging — runs on device as compiled XLA.
-The host only pads the volume once per axis and receives final uint8/float16
-volumes. Merge semantics (tie towards the earlier sweep, merge order z+y
+TPU-first: the data volume is uploaded to HBM ONCE and every step of the TTA
+flow — reflect-101 padding (gather), axis transposes, rot90 rotations, batched
+forward passes (lax.map over fixed-size slice batches), softmax/argmax,
+max-prob extraction, centre-crop, and pairwise max-prob merging — runs on
+device as compiled XLA. Only the final label/probability volumes cross back
+to the host. Merge semantics (tie towards the earlier sweep, merge order z+y
 then x, then rotations k=1..3) match the reference exactly.
 """
 
 import logging
-from functools import partial
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -35,6 +35,16 @@ def _reflect101_indices(start: int, stop: int, size: int) -> np.ndarray:
     period = 2 * (size - 1)
     idx = np.abs(idx) % period
     return np.where(idx >= size, period - idx, idx)
+
+
+def _rotate_to_axis_device(vol, axis: Axis):
+    """Device equivalent of utils.rotate_array_to_axis (swapaxes)."""
+    if axis == Axis.Z:
+        return vol
+    if axis == Axis.Y:
+        return jnp.swapaxes(vol, 0, 1)
+    if axis == Axis.X:
+        return jnp.swapaxes(vol, 0, 2)
 
 
 class VolSeg2dPredictor:
@@ -63,8 +73,8 @@ class VolSeg2dPredictor:
     # ------------------------------------------------------------------
 
     def _sweep_fn(self, padded_h: int, padded_w: int):
-        """Build (and cache) the jitted full-volume sweep for slices padded
-        to (padded_h, padded_w)."""
+        """Jitted full-volume sweep for slices padded to (padded_h, padded_w),
+        cached per shape (at most 3 distinct shapes per volume + rotations)."""
         key = (padded_h, padded_w)
         if key in self._sweep_cache:
             return self._sweep_cache[key]
@@ -98,44 +108,55 @@ class VolSeg2dPredictor:
         self._sweep_cache[key] = sweep
         return sweep
 
-    def _predict_single_axis(self, data_vol, output_probs=True, axis=Axis.Z):
-        """Predict every slice along `axis` (reference predictor :31-65).
-
-        Returns (labels uint8, max_probs float16) in the original volume
-        orientation; probs is None when output_probs is False.
-        """
-        data_vol = utils.rotate_array_to_axis(np.asarray(data_vol), axis)
-        n, h, w = data_vol.shape
+    def _sweep_axis_device(self, vol_dev, axis: Axis):
+        """Device volume (D, H, W) uint8 -> (labels u8, probs f16) device
+        volumes in the ORIGINAL orientation. All padding/cropping/transposes
+        happen on device."""
+        vol = _rotate_to_axis_device(vol_dev, axis)
+        n, h, w = vol.shape
         ph, pw = get_padded_dimension(h), get_padded_dimension(w)
-        logging.info(f"Predicting segmentation for volume of shape {data_vol.shape}.")
-
-        # Centre reflect-101 pad H/W (albumentations PadIfNeeded semantics,
-        # reference augmentations.py:46-65) and pad N to the batch multiple.
         top, left = (ph - h) // 2, (pw - w) // 2
+        if ph != h:
+            vol = jnp.take(vol, jnp.asarray(_reflect101_indices(-top, ph - top, h)), axis=1)
+        if pw != w:
+            vol = jnp.take(vol, jnp.asarray(_reflect101_indices(-left, pw - left, w)), axis=2)
         n_pad = (-n) % self.batch_size
-        vol = data_vol
-        if ph != h or pw != w:
-            vol = vol[
-                :,
-                _reflect101_indices(-top, ph - top, h)[:, None],
-                _reflect101_indices(-left, pw - left, w)[None, :],
-            ]
         if n_pad:
-            vol = np.concatenate([vol, np.repeat(vol[-1:], n_pad, axis=0)])
-        if vol.dtype != np.uint8:
-            vol = vol.astype(np.uint8)
-
+            vol = jnp.concatenate(
+                [vol, jnp.broadcast_to(vol[-1:], (n_pad, ph, pw))], axis=0
+            )
         sweep = self._sweep_fn(ph, pw)
-        labels_d, probs_d = sweep(self.bundle.variables, jnp.asarray(vol))
-        # Crop back to the original slice shape and slice count on device.
-        labels_d = jax.lax.slice(labels_d, (0, top, left), (n, top + h, left + w))
-        probs_d = jax.lax.slice(probs_d, (0, top, left), (n, top + h, left + w))
+        labels, probs = sweep(self.bundle.variables, vol)
+        labels = jax.lax.slice(labels, (0, top, left), (n, top + h, left + w))
+        probs = jax.lax.slice(probs, (0, top, left), (n, top + h, left + w))
+        return _rotate_to_axis_device(labels, axis), _rotate_to_axis_device(probs, axis)
 
-        labels = utils.rotate_array_to_axis(np.asarray(labels_d), axis)
-        probs = None
-        if output_probs:
-            probs = utils.rotate_array_to_axis(np.asarray(probs_d), axis)
+    # ------------------------------------------------------------------
+    # Public single-axis API (host arrays, reference predictor :31-65)
+    # ------------------------------------------------------------------
+
+    def _predict_single_axis(self, data_vol, output_probs=True, axis=Axis.Z):
+        """Predict every slice along `axis`. Returns (labels uint8,
+        max_probs float16) numpy volumes; probs is None when output_probs is
+        False."""
+        vol_dev = self._to_device_u8(data_vol)
+        s = list(data_vol.shape)
+        if axis != Axis.Z:
+            s[0], s[axis.value] = s[axis.value], s[0]
+        logging.info(f"Predicting segmentation for volume of shape {tuple(s)}.")
+        labels_d, probs_d = self._sweep_axis_device(vol_dev, axis)
+        labels = np.asarray(labels_d)
+        probs = np.asarray(probs_d) if output_probs else None
         return labels, probs
+
+    @staticmethod
+    def _to_device_u8(data_vol):
+        if isinstance(data_vol, jnp.ndarray) and data_vol.dtype == jnp.uint8:
+            return data_vol
+        arr = np.asarray(data_vol)
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.uint8)
+        return jnp.asarray(arr)
 
     # ------------------------------------------------------------------
     # Multi-axis merging (reference predictor :67-116)
@@ -165,48 +186,41 @@ class VolSeg2dPredictor:
         label_container[0] = np.asarray(labels)
         prob_container[0] = np.asarray(probs)
 
-    def _predict_3_ways_max_probs(self, data_vol):
-        """z, then y (merge), then x (merge) — reference predictor :67-88."""
+    def _predict_3_ways_device(self, vol_dev):
+        """z, then y (merge), then x (merge), all device-resident
+        (reference predictor :67-88 merge order)."""
         logging.info("Predicting YX slices:")
-        labels0, probs0 = self._predict_single_axis(data_vol, output_probs=True)
+        labels, probs = self._sweep_axis_device(vol_dev, Axis.Z)
         logging.info("Predicting ZX slices:")
-        labels1, probs1 = self._predict_single_axis(
-            data_vol, output_probs=True, axis=Axis.Y
-        )
+        labels1, probs1 = self._sweep_axis_device(vol_dev, Axis.Y)
         logging.info("Merging XY and ZX volumes.")
-        labels0, probs0 = self._merge_pair(
-            jnp.asarray(labels0), jnp.asarray(probs0),
-            jnp.asarray(labels1), jnp.asarray(probs1),
-        )
+        labels, probs = self._merge_pair(labels, probs, labels1, probs1)
         logging.info("Predicting ZY slices:")
-        labels1, probs1 = self._predict_single_axis(
-            data_vol, output_probs=True, axis=Axis.X
-        )
+        labels1, probs1 = self._sweep_axis_device(vol_dev, Axis.X)
         logging.info("Merging max of XY and ZX volumes with ZY volume.")
-        labels0, probs0 = self._merge_pair(
-            labels0, probs0, jnp.asarray(labels1), jnp.asarray(probs1)
-        )
-        return np.asarray(labels0), np.asarray(probs0)
+        labels, probs = self._merge_pair(labels, probs, labels1, probs1)
+        return labels, probs
+
+    def _predict_3_ways_max_probs(self, data_vol):
+        labels, probs = self._predict_3_ways_device(self._to_device_u8(data_vol))
+        return np.asarray(labels), np.asarray(probs)
 
     def _predict_12_ways_max_probs(self, data_vol):
         """3-way prediction at 4 in-plane rotations, merged pairwise in
-        rotation order (reference predictor :100-116)."""
-        labels, probs = self._predict_3_ways_max_probs(data_vol)
+        rotation order (reference predictor :100-116), device-resident."""
+        vol_dev = self._to_device_u8(data_vol)
+        labels, probs = self._predict_3_ways_device(vol_dev)
+        rotated = vol_dev
         for k in range(1, 4):
             logging.info(f"Rotating volume {k * 90} degrees")
-            data_vol = np.rot90(data_vol)
-            labels_k, probs_k = self._predict_3_ways_max_probs(data_vol)
-            labels_k = np.rot90(labels_k, -k)
-            probs_k = np.rot90(probs_k, -k)
+            rotated = jnp.rot90(rotated)
+            labels_k, probs_k = self._predict_3_ways_device(rotated)
+            labels_k = jnp.rot90(labels_k, -k)
+            probs_k = jnp.rot90(probs_k, -k)
             logging.info(
                 f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg volume."
             )
-            labels, probs = self._merge_pair(
-                jnp.asarray(np.ascontiguousarray(labels)),
-                jnp.asarray(np.ascontiguousarray(probs)),
-                jnp.asarray(np.ascontiguousarray(labels_k)),
-                jnp.asarray(np.ascontiguousarray(probs_k)),
-            )
+            labels, probs = self._merge_pair(labels, probs, labels_k, probs_k)
         return np.asarray(labels), np.asarray(probs)
 
     # ------------------------------------------------------------------
@@ -217,18 +231,30 @@ class VolSeg2dPredictor:
         prediction, _ = self._predict_single_axis(data_vol, axis=axis)
         return utils.one_hot_encode_array(prediction, self.num_labels)
 
+    def _one_hot_device(self, labels_dev):
+        """(D, H, W) uint8 labels -> (C, D, H, W) uint8 one-hot on device."""
+        return jax.nn.one_hot(labels_dev, self.num_labels, axis=0, dtype=jnp.uint8)
+
+    def _predict_3_ways_one_hot_device(self, vol_dev):
+        out = None
+        for axis in (Axis.Z, Axis.Y, Axis.X):
+            labels, _ = self._sweep_axis_device(vol_dev, axis)
+            oh = self._one_hot_device(labels)
+            out = oh if out is None else out + oh
+        return out
+
     def _predict_3_ways_one_hot(self, data_vol):
-        one_hot_out = self._predict_single_axis_to_one_hot(data_vol)
-        one_hot_out += self._predict_single_axis_to_one_hot(data_vol, Axis.Y)
-        one_hot_out += self._predict_single_axis_to_one_hot(data_vol, Axis.X)
-        return one_hot_out
+        return np.asarray(
+            self._predict_3_ways_one_hot_device(self._to_device_u8(data_vol))
+        )
 
     def _predict_12_ways_one_hot(self, data_vol):
-        one_hot_out = self._predict_3_ways_one_hot(data_vol)
+        vol_dev = self._to_device_u8(data_vol)
+        out = self._predict_3_ways_one_hot_device(vol_dev)
+        rotated = vol_dev
         for k in range(1, 4):
             logging.info(f"Rotating volume {k * 90} degrees")
-            data_vol = np.rot90(data_vol)
-            one_hot_out += np.rot90(
-                self._predict_3_ways_one_hot(data_vol), -k, axes=(-3, -2)
-            )
-        return one_hot_out
+            rotated = jnp.rot90(rotated)
+            oh = self._predict_3_ways_one_hot_device(rotated)
+            out = out + jnp.rot90(oh, -k, axes=(-3, -2))
+        return np.asarray(out)

@@ -345,13 +345,19 @@ class VolSeg2dTrainer:
 
         ckpt = load_checkpoint(output_path)
         logging.info("Loading model weights.")
-        self.bundle.variables = serialization.from_state_dict(
+        restored = serialization.from_state_dict(
             self.bundle.variables, ckpt["model_state_dict"]
         )
+        # Push restored host arrays to device once (avoids silent re-upload
+        # of all params on every jitted step).
+        self.bundle.variables = jax.tree_util.tree_map(jnp.asarray, restored)
         if optimizer and ckpt.get("optimizer_state_dict"):
             logging.info("Loading optimizer weights.")
-            self.opt_state = serialization.from_state_dict(
-                self.opt_state, ckpt["optimizer_state_dict"]
+            self.opt_state = jax.tree_util.tree_map(
+                jnp.asarray,
+                serialization.from_state_dict(
+                    self.opt_state, ckpt["optimizer_state_dict"]
+                ),
             )
         return ckpt.get("loss_val", np.inf)
 

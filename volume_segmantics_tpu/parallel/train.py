@@ -1,0 +1,77 @@
+"""Data-parallel training step over a jax.sharding.Mesh.
+
+Builds the same fused step the single-chip trainer uses (augment + forward +
+loss + backward + AdamW) but jitted with explicit shardings: batch split
+along the `data` mesh axis, parameters/optimizer state replicated. XLA
+inserts the gradient all-reduce over ICI; BatchNorm batch statistics are
+computed over the *global* batch because the traced computation is written
+over the full array (GSPMD handles the cross-device mean/var reductions).
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import volume_segmantics_tpu.utils.config as cfg
+from volume_segmantics_tpu.ops.augment import augment_batch
+from volume_segmantics_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def build_dp_train_step(
+    module,
+    loss_fn: Callable,
+    tx,
+    mask_tree,
+    num_labels: int,
+    image_size: int,
+    mesh,
+    compute_dtype=jnp.bfloat16,
+    augment: bool = True,
+):
+    """Returns a jitted data-parallel train step:
+    (params, batch_stats, opt_state, images_u8, masks_u8, lr, rng) ->
+    (params, batch_stats, opt_state, loss).
+    """
+    mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    def step(params, batch_stats, opt_state, images_u8, masks_u8, lr, rng):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        imgs = images_u8.astype(jnp.float32) / 255.0
+        msks = masks_u8.astype(jnp.int32)
+        if augment:
+            imgs, msks = augment_batch(aug_rng, imgs, msks, image_size)
+        x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
+        targets = jnp.transpose(
+            jax.nn.one_hot(msks, num_labels, dtype=jnp.float32), (0, 3, 1, 2)
+        )
+
+        def compute_loss(p):
+            logits, mutated = module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
+            return loss_fn(logits_nchw, targets), mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            params
+        )
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u, m: -lr * u * m, updates, mask_tree)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, None, None),
+        out_shardings=(r_shard, r_shard, r_shard, None),
+        donate_argnums=(0, 1, 2),
+    )

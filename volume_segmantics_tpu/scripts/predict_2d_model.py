@@ -24,6 +24,9 @@ def create_output_path(root_path, data_vol_path):
 
 
 def main():
+    from volume_segmantics_tpu.utils.device import configure_platform
+
+    configure_platform()
     logging.basicConfig(
         level=logging.INFO, format=cfg.LOGGING_FMT, datefmt=cfg.LOGGING_DATE_FMT
     )

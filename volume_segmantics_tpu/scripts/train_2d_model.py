@@ -18,6 +18,9 @@ from volume_segmantics_tpu.utils import get_2d_training_parser
 
 
 def main():
+    from volume_segmantics_tpu.utils.device import configure_platform
+
+    configure_platform()
     logging.basicConfig(
         level=logging.INFO, format=cfg.LOGGING_FMT, datefmt=cfg.LOGGING_DATE_FMT
     )
