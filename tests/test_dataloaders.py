@@ -10,11 +10,14 @@ def test_training_split_sizes(image_dir, label_dir, training_settings):
     train_loader, val_loader = get_2d_training_dataloaders(
         image_dir, label_dir, training_settings
     )
-    # 20 slices, 0.8 split, batch 2, drop_last for training
+    # 20 slices, 0.8 split; batch size is rounded up to a multiple of the
+    # device count (8 virtual CPU devices in tests)
+    bs = train_loader.batch_size
+    assert bs % 8 == 0
     assert len(train_loader.indices) == 16
     assert len(val_loader.indices) == 4
-    assert len(train_loader) == 8
-    assert len(val_loader) == 2
+    assert len(train_loader) == 16 // bs
+    assert len(val_loader) == -(-4 // bs)
 
 
 def test_training_batches(image_dir, label_dir, training_settings):
@@ -24,9 +27,10 @@ def test_training_batches(image_dir, label_dir, training_settings):
     batches = list(train_loader)
     assert len(batches) == len(train_loader)
     images, masks, n_valid = batches[0]
-    assert images.shape == (2, 64, 64)
-    assert masks.shape == (2, 64, 64)
-    assert n_valid == 2
+    bs = train_loader.batch_size
+    assert images.shape == (bs, 64, 64)
+    assert masks.shape == (bs, 64, 64)
+    assert n_valid == bs
 
 
 def test_remainder_batch_padded():

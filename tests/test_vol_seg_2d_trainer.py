@@ -26,8 +26,12 @@ def trainer(image_dir, label_dir, fast_settings):
 class TestTrainer:
     def test_init(self, trainer):
         assert trainer.label_no == 4
-        assert len(trainer.training_loader) == 8
-        assert len(trainer.validation_loader) == 2
+        bs = trainer.training_loader.batch_size
+        # batch size is rounded up to a multiple of the device count (8
+        # virtual CPU devices in tests)
+        assert bs % 8 == 0
+        assert len(trainer.training_loader) == 16 // bs
+        assert len(trainer.validation_loader) == -(-4 // bs)
 
     def test_freeze_mask(self, trainer):
         import jax

@@ -76,6 +76,14 @@ def create_model_on_device(
     module = create_model(model_struc_dict, dtype=dtype)
     in_channels = model_struc_dict.get("in_channels", 1)
     variables = init_model_variables(module, in_channels, rng)
+    if model_struc_dict.get("encoder_weights") == "imagenet":
+        from volume_segmantics_tpu.models.pretrained import (
+            load_pretrained_encoder,
+        )
+
+        variables = load_pretrained_encoder(
+            variables, model_struc_dict.get("encoder_name", "resnet34"), in_channels
+        )
     logging.info(f"Model created (device group {device_num}).")
     return ModelBundle(
         module=module, variables=variables, model_struc_dict=dict(model_struc_dict)

@@ -105,6 +105,13 @@ class VolSeg2dTrainer:
         self._train_step = None
         self._eval_step = None
         self._weight_decay = float(getattr(settings, "weight_decay", 0.01))
+        from volume_segmantics_tpu.parallel.mesh import get_mesh
+
+        self.mesh = get_mesh()
+        if len(self.mesh.devices.flat) > 1:
+            logging.info(
+                f"Data-parallel training over {len(self.mesh.devices.flat)} devices."
+            )
 
     # ------------------------------------------------------------------
     # Setup
@@ -156,69 +163,37 @@ class VolSeg2dTrainer:
         logging.info("Trainer created.")
 
     def _build_steps(self, frozen: bool):
-        """Compile the fused train step and the eval step for the current
-        freeze configuration."""
-        module = self.bundle.module
-        loss_fn = self.loss_fn
-        eval_fn = self.eval_metric_fn
-        tx = self._tx
-        num_labels = self.label_no
-        size = self.image_size
-        cdtype = self.compute_dtype
-        augment = self.augment_on_device
+        """Build the fused data-parallel train/eval steps for the current
+        freeze configuration (single device: trivial 1-device mesh). Batches
+        are sharded along the data axis; params/optimizer replicated."""
+        from volume_segmantics_tpu.parallel.mesh import replicate
+        from volume_segmantics_tpu.parallel.train import (
+            build_dp_eval_step,
+            build_dp_train_step,
+        )
+
         mask_tree = _freeze_mask(self.bundle.params, frozen)
-        mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
-
-        def prep(images_u8, masks_u8, rng, train):
-            imgs = images_u8.astype(jnp.float32) / 255.0
-            msks = masks_u8.astype(jnp.int32)
-            if train and augment:
-                imgs, msks = augment_batch(rng, imgs, msks, size)
-            x = (imgs - mean) / std
-            x = x[..., None].astype(cdtype)  # NHWC, C=1
-            targets = jax.nn.one_hot(msks, num_labels, dtype=jnp.float32)
-            targets_nchw = jnp.transpose(targets, (0, 3, 1, 2))
-            return x, targets_nchw
-
-        def train_step(params, batch_stats, opt_state, images_u8, masks_u8, lr, rng):
-            aug_rng, dropout_rng = jax.random.split(rng)
-            x, targets = prep(images_u8, masks_u8, aug_rng, train=True)
-
-            def compute_loss(p):
-                logits, mutated = module.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    x,
-                    train=True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": dropout_rng},
-                )
-                logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
-                return loss_fn(logits_nchw, targets), mutated["batch_stats"]
-
-            (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-                params
-            )
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            updates = jax.tree_util.tree_map(
-                lambda u, m: -lr * u * m, updates, mask_tree
-            )
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_bs, new_opt_state, loss
-
-        def eval_step(params, batch_stats, images_u8, masks_u8):
-            x, targets = prep(images_u8, masks_u8, None, train=False)
-            logits = module.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-            logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
-            loss = loss_fn(logits_nchw, targets)
-            probs = jax.nn.softmax(logits_nchw.astype(jnp.float32), axis=1)
-            score = eval_fn(probs, targets)
-            return loss, score
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(eval_step)
+        self._train_step = build_dp_train_step(
+            self.bundle.module,
+            self.loss_fn,
+            self._tx,
+            mask_tree,
+            num_labels=self.label_no,
+            image_size=self.image_size,
+            mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
+            augment=self.augment_on_device,
+        )
+        self._eval_step = build_dp_eval_step(
+            self.bundle.module,
+            self.loss_fn,
+            self.eval_metric_fn,
+            num_labels=self.label_no,
+            mesh=self.mesh,
+            compute_dtype=self.compute_dtype,
+        )
+        self.bundle.variables = replicate(self.bundle.variables, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
 
     # ------------------------------------------------------------------
     # Loss / metric / freezing helpers kept for API parity
@@ -287,7 +262,10 @@ class VolSeg2dTrainer:
                 bar_format=cfg.TQDM_BAR_FORMAT,
             ):
                 loss, score = self._eval_step(
-                    self.bundle.params, self.bundle.batch_stats, images, masks
+                    self.bundle.params,
+                    self.bundle.batch_stats,
+                    self._shard(images),
+                    self._shard(masks),
                 )
                 valid_losses.append(float(loss))
                 eval_scores.append(float(score))
@@ -313,13 +291,18 @@ class VolSeg2dTrainer:
 
         self._load_in_weights(output_path)
 
+    def _shard(self, batch):
+        from volume_segmantics_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(np.ascontiguousarray(batch), self.mesh)
+
     def _train_one_batch(self, images, masks, lr) -> float:
         params, bs, opt_state, loss = self._train_step(
             self.bundle.params,
             self.bundle.batch_stats,
             self.opt_state,
-            images,
-            masks,
+            self._shard(images),
+            self._shard(masks),
             lr,
             self._next_rng(),
         )
@@ -345,19 +328,21 @@ class VolSeg2dTrainer:
 
         ckpt = load_checkpoint(output_path)
         logging.info("Loading model weights.")
+        from volume_segmantics_tpu.parallel.mesh import replicate
+
         restored = serialization.from_state_dict(
             self.bundle.variables, ckpt["model_state_dict"]
         )
-        # Push restored host arrays to device once (avoids silent re-upload
-        # of all params on every jitted step).
-        self.bundle.variables = jax.tree_util.tree_map(jnp.asarray, restored)
+        # Replicate restored host arrays onto the mesh once (avoids silent
+        # re-upload of all params on every jitted step).
+        self.bundle.variables = replicate(restored, self.mesh)
         if optimizer and ckpt.get("optimizer_state_dict"):
             logging.info("Loading optimizer weights.")
-            self.opt_state = jax.tree_util.tree_map(
-                jnp.asarray,
+            self.opt_state = replicate(
                 serialization.from_state_dict(
                     self.opt_state, ckpt["optimizer_state_dict"]
                 ),
+                self.mesh,
             )
         return ckpt.get("loss_val", np.inf)
 
@@ -453,15 +438,26 @@ class VolSeg2dTrainer:
 
     def _create_oc_lr_schedule(self, num_epochs, lr_to_use):
         """OneCycle (cosine) schedule with torch OneCycleLR defaults
-        (div_factor=25, final_div_factor=1e4), reference trainer :401-408."""
-        total_steps = num_epochs * max(len(self.training_loader), 1)
-        return optax.cosine_onecycle_schedule(
-            transition_steps=total_steps,
-            peak_value=lr_to_use,
-            pct_start=self.settings.pct_lr_inc,
-            div_factor=25.0,
-            final_div_factor=1e4,
-        )
+        (div_factor=25, final_div_factor=1e4), reference trainer :401-408.
+        Hand-rolled host function: robust for tiny step counts where
+        optax.cosine_onecycle_schedule divides by a zero interval."""
+        total_steps = max(num_epochs * max(len(self.training_loader), 1), 1)
+        pct_start = float(self.settings.pct_lr_inc)
+        initial_lr = lr_to_use / 25.0
+        min_lr = initial_lr / 1e4
+        warm_steps = pct_start * total_steps
+
+        def schedule(step):
+            if step < warm_steps:
+                frac = step / max(warm_steps, 1.0)
+                return initial_lr + (lr_to_use - initial_lr) * (
+                    1 - math.cos(math.pi * frac)
+                ) / 2.0
+            frac = (step - warm_steps) / max(total_steps - warm_steps, 1.0)
+            frac = min(frac, 1.0)
+            return min_lr + (lr_to_use - min_lr) * (1 + math.cos(math.pi * frac)) / 2.0
+
+        return schedule
 
     def _create_early_stopping(self, output_path, patience, best_score=None):
         return EarlyStopping(

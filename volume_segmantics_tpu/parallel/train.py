@@ -75,3 +75,41 @@ def build_dp_train_step(
         out_shardings=(r_shard, r_shard, r_shard, None),
         donate_argnums=(0, 1, 2),
     )
+
+
+def build_dp_eval_step(
+    module,
+    loss_fn: Callable,
+    eval_fn: Callable,
+    num_labels: int,
+    mesh,
+    compute_dtype=jnp.bfloat16,
+):
+    """Jitted data-parallel eval step: (params, batch_stats, images_u8,
+    masks_u8) -> (loss, score)."""
+    mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    def step(params, batch_stats, images_u8, masks_u8):
+        imgs = images_u8.astype(jnp.float32) / 255.0
+        x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
+        targets = jnp.transpose(
+            jax.nn.one_hot(masks_u8.astype(jnp.int32), num_labels,
+                           dtype=jnp.float32),
+            (0, 3, 1, 2),
+        )
+        logits = module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
+        loss = loss_fn(logits_nchw, targets)
+        probs = jax.nn.softmax(logits_nchw.astype(jnp.float32), axis=1)
+        score = eval_fn(probs, targets)
+        return loss, score
+
+    return jax.jit(
+        step,
+        in_shardings=(r_shard, r_shard, b_shard, b_shard),
+        out_shardings=(None, None),
+    )

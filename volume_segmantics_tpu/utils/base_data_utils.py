@@ -126,18 +126,30 @@ def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
     override = getattr(settings, override_key, None)
     if override:
         logging.info(f"Using batch size {override} from settings.")
-        return int(override)
-    free_mem = _device_hbm_gb()
-    if free_mem < cfg.BIG_HBM_THRESHOLD:
-        batch_size = cfg.SMALL_BATCH
-    elif not prediction:
-        batch_size = cfg.BIG_TRAIN_BATCH
+        batch_size = int(override)
     else:
-        batch_size = cfg.BIG_PRED_BATCH
-    logging.info(
-        f"Free device memory is {free_mem:0.2f} GB. Batch size will be "
-        f"{batch_size}."
-    )
+        free_mem = _device_hbm_gb()
+        if free_mem < cfg.BIG_HBM_THRESHOLD:
+            batch_size = cfg.SMALL_BATCH
+        elif not prediction:
+            batch_size = cfg.BIG_TRAIN_BATCH
+        else:
+            batch_size = cfg.BIG_PRED_BATCH
+        logging.info(
+            f"Free device memory is {free_mem:0.2f} GB. Batch size will be "
+            f"{batch_size}."
+        )
+    # Round up to a multiple of the device count so data-parallel sharding
+    # along the batch axis divides evenly.
+    try:
+        import jax
+
+        n_dev = jax.device_count()
+    except Exception:  # pragma: no cover
+        n_dev = 1
+    if batch_size % n_dev:
+        batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+        logging.info(f"Rounded batch size up to {batch_size} for {n_dev} devices.")
     return batch_size
 
 
