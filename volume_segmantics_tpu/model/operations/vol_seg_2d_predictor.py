@@ -72,64 +72,70 @@ class VolSeg2dPredictor:
     # Device sweep: one compiled program per padded slice shape
     # ------------------------------------------------------------------
 
-    def _sweep_fn(self, padded_h: int, padded_w: int):
-        """Jitted full-volume sweep for slices padded to (padded_h, padded_w),
-        cached per shape (at most 3 distinct shapes per volume + rotations)."""
-        key = (padded_h, padded_w)
-        if key in self._sweep_cache:
-            return self._sweep_cache[key]
-
+    def _sweep_trace(self, variables, vol):
+        """Traceable padded-volume sweep: (N, H, W) uint8, H/W already
+        multiples of the stride divisor, N a multiple of the batch size ->
+        (labels u8, probs f16). Batched forward via lax.map."""
         module = self.bundle.module
         bs = self.batch_size
         mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
         cdtype = jnp.dtype(getattr(self.settings, "compute_dtype", cfg.COMPUTE_DTYPE))
+        n, ph, pw = vol.shape
+        batches = vol.reshape(n // bs, bs, ph, pw)
 
-        @jax.jit
-        def sweep(variables, vol_u8):
-            # vol_u8: (n_batches * bs, H, W) uint8, padded on every axis
-            n = vol_u8.shape[0]
-            batches = vol_u8.reshape(n // bs, bs, padded_h, padded_w)
+        def fwd(batch):
+            x = batch.astype(jnp.float32) / 255.0
+            x = ((x - mean) / std)[..., None].astype(cdtype)
+            logits = module.apply(variables, x, train=False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            max_probs = jnp.max(probs, axis=-1).astype(jnp.float16)
+            return labels, max_probs
 
-            def fwd(batch):
-                x = batch.astype(jnp.float32) / 255.0
-                x = ((x - mean) / std)[..., None].astype(cdtype)
-                logits = module.apply(variables, x, train=False)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-                max_probs = jnp.max(probs, axis=-1).astype(jnp.float16)
-                return labels, max_probs
+        labels, probs = jax.lax.map(fwd, batches)
+        return labels.reshape(n, ph, pw), probs.reshape(n, ph, pw)
 
-            labels, probs = jax.lax.map(fwd, batches)
-            return (
-                labels.reshape(n, padded_h, padded_w),
-                probs.reshape(n, padded_h, padded_w),
-            )
-
-        self._sweep_cache[key] = sweep
-        return sweep
-
-    def _sweep_axis_device(self, vol_dev, axis: Axis):
-        """Device volume (D, H, W) uint8 -> (labels u8, probs f16) device
-        volumes in the ORIGINAL orientation. All padding/cropping/transposes
-        happen on device."""
-        vol = _rotate_to_axis_device(vol_dev, axis)
+    def _axis_sweep_trace(self, variables, vol, axis: Axis):
+        """Traceable per-axis sweep: rotate, reflect-101 pad, sweep, crop,
+        rotate back. All shape math is static at trace time."""
+        vol = _rotate_to_axis_device(vol, axis)
         n, h, w = vol.shape
         ph, pw = get_padded_dimension(h), get_padded_dimension(w)
         top, left = (ph - h) // 2, (pw - w) // 2
         if ph != h:
-            vol = jnp.take(vol, jnp.asarray(_reflect101_indices(-top, ph - top, h)), axis=1)
+            vol = jnp.take(
+                vol, jnp.asarray(_reflect101_indices(-top, ph - top, h)), axis=1
+            )
         if pw != w:
-            vol = jnp.take(vol, jnp.asarray(_reflect101_indices(-left, pw - left, w)), axis=2)
+            vol = jnp.take(
+                vol, jnp.asarray(_reflect101_indices(-left, pw - left, w)), axis=2
+            )
         n_pad = (-n) % self.batch_size
         if n_pad:
             vol = jnp.concatenate(
                 [vol, jnp.broadcast_to(vol[-1:], (n_pad, ph, pw))], axis=0
             )
-        sweep = self._sweep_fn(ph, pw)
-        labels, probs = sweep(self.bundle.variables, vol)
+        labels, probs = self._sweep_trace(variables, vol)
         labels = jax.lax.slice(labels, (0, top, left), (n, top + h, left + w))
         probs = jax.lax.slice(probs, (0, top, left), (n, top + h, left + w))
         return _rotate_to_axis_device(labels, axis), _rotate_to_axis_device(probs, axis)
+
+    def _get_jitted(self, kind: str, shape, fn):
+        """Per-(kind, volume-shape) jit cache."""
+        key = (kind, tuple(shape))
+        if key not in self._sweep_cache:
+            self._sweep_cache[key] = jax.jit(fn)
+        return self._sweep_cache[key]
+
+    def _sweep_axis_device(self, vol_dev, axis: Axis):
+        """Device volume (D, H, W) uint8 -> (labels u8, probs f16) device
+        volumes in the ORIGINAL orientation, as one compiled program."""
+        fn = self._get_jitted(
+            f"axis_{axis.name}",
+            vol_dev.shape,
+            lambda variables, v, a=axis: self._axis_sweep_trace(variables, v, a),
+        )
+        return fn(self.bundle.variables, vol_dev)
 
     # ------------------------------------------------------------------
     # Public single-axis API (host arrays, reference predictor :31-65)
@@ -186,20 +192,28 @@ class VolSeg2dPredictor:
         label_container[0] = np.asarray(labels)
         prob_container[0] = np.asarray(probs)
 
-    def _predict_3_ways_device(self, vol_dev):
-        """z, then y (merge), then x (merge), all device-resident
-        (reference predictor :67-88 merge order)."""
-        logging.info("Predicting YX slices:")
-        labels, probs = self._sweep_axis_device(vol_dev, Axis.Z)
-        logging.info("Predicting ZX slices:")
-        labels1, probs1 = self._sweep_axis_device(vol_dev, Axis.Y)
-        logging.info("Merging XY and ZX volumes.")
-        labels, probs = self._merge_pair(labels, probs, labels1, probs1)
-        logging.info("Predicting ZY slices:")
-        labels1, probs1 = self._sweep_axis_device(vol_dev, Axis.X)
-        logging.info("Merging max of XY and ZX volumes with ZY volume.")
-        labels, probs = self._merge_pair(labels, probs, labels1, probs1)
+    def _three_way_trace(self, variables, vol):
+        """Traceable 3-axis TTA: z, then y (merge), then x (merge) —
+        reference predictor :67-88 merge order — as ONE XLA program."""
+        labels, probs = self._axis_sweep_trace(variables, vol, Axis.Z)
+        labels1, probs1 = self._axis_sweep_trace(variables, vol, Axis.Y)
+        take1 = probs1 > probs
+        labels = jnp.where(take1, labels1, labels)
+        probs = jnp.where(take1, probs1, probs)
+        labels1, probs1 = self._axis_sweep_trace(variables, vol, Axis.X)
+        take1 = probs1 > probs
+        labels = jnp.where(take1, labels1, labels)
+        probs = jnp.where(take1, probs1, probs)
         return labels, probs
+
+    def _predict_3_ways_device(self, vol_dev):
+        """Single compiled 3-axis TTA sweep+merge."""
+        logging.info(
+            f"Predicting slices along 3 axes for volume {tuple(vol_dev.shape)} "
+            "(single fused program)."
+        )
+        fn = self._get_jitted("three_way", vol_dev.shape, self._three_way_trace)
+        return fn(self.bundle.variables, vol_dev)
 
     def _predict_3_ways_max_probs(self, data_vol):
         labels, probs = self._predict_3_ways_device(self._to_device_u8(data_vol))
