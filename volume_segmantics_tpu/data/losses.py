@@ -136,6 +136,149 @@ def weighted_cross_entropy_loss(
     return per_pixel.sum() / jnp.clip(weight_map.sum(), min=1e-12)
 
 
+def pixel_wise_cross_entropy_loss(
+    input: jnp.ndarray,
+    target_indices: jnp.ndarray,
+    weights: jnp.ndarray,
+    class_weights=None,
+) -> jnp.ndarray:
+    """Per-pixel weighted cross-entropy (reference
+    pytorch3dunet_losses.py:210-242). `weights` matches `target_indices`
+    shape; `class_weights` is a per-class vector (defaults to ones)."""
+    log_probs = jax.nn.log_softmax(input, axis=1)
+    n_classes = input.shape[1]
+    onehot = jax.nn.one_hot(target_indices, n_classes, axis=1, dtype=log_probs.dtype)
+    w = jnp.expand_dims(weights, 1).astype(log_probs.dtype)
+    w = jnp.broadcast_to(w, input.shape)
+    if class_weights is None:
+        class_weights = jnp.ones((n_classes,), log_probs.dtype)
+    cw = jnp.reshape(class_weights, (1, -1) + (1,) * (input.ndim - 2))
+    result = -(cw * w) * onehot * log_probs
+    return jnp.mean(result)
+
+
+def weighted_smooth_l1_loss(
+    input: jnp.ndarray,
+    target: jnp.ndarray,
+    threshold: float,
+    initial_weight: float,
+    apply_below_threshold: bool = True,
+) -> jnp.ndarray:
+    """Smooth-L1 with extra weight on targets below/above a threshold
+    (reference pytorch3dunet_losses.py:245-262)."""
+    diff = input - target
+    abs_diff = jnp.abs(diff)
+    l1 = jnp.where(abs_diff < 1.0, 0.5 * diff * diff, abs_diff - 0.5)
+    mask = target < threshold if apply_below_threshold else target >= threshold
+    l1 = jnp.where(mask, l1 * initial_weight, l1)
+    return jnp.mean(l1)
+
+
+def mse_loss(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((input - target) ** 2)
+
+
+def l1_loss(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(input - target))
+
+
+def smooth_l1_loss(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    diff = input - target
+    abs_diff = jnp.abs(diff)
+    return jnp.mean(jnp.where(abs_diff < 1.0, 0.5 * diff * diff, abs_diff - 0.5))
+
+
+def masked_loss(loss_fn: Callable, ignore_index) -> Callable:
+    """Wrapper zeroing input/target where target equals `ignore_index`
+    (reference pytorch3dunet_losses.py:44-64)."""
+    assert ignore_index is not None, "ignore_index cannot be None"
+
+    def wrapped(input, target):
+        mask = (target != ignore_index).astype(input.dtype)
+        mask = jax.lax.stop_gradient(mask)
+        return loss_fn(input * mask, target * mask)
+
+    return wrapped
+
+
+def skip_last_target_channel(loss_fn: Callable, squeeze_channel: bool = False) -> Callable:
+    """Wrapper removing the last target channel
+    (reference pytorch3dunet_losses.py:67-86)."""
+
+    def wrapped(input, target):
+        assert target.shape[1] > 1, (
+            "Target tensor has a singleton channel dimension, cannot remove channel"
+        )
+        target = target[:, :-1, ...]
+        if squeeze_channel:
+            target = jnp.squeeze(target, axis=1)
+        return loss_fn(input, target)
+
+    return wrapped
+
+
+def get_loss_criterion(config: dict) -> Callable:
+    """Config-driven loss factory mirroring reference
+    pytorch3dunet_losses.py:280-351 (`config['loss']` holds `name` plus
+    loss-specific options; ignore_index wraps non-CE losses in masking)."""
+    assert "loss" in config, "Could not find loss function configuration"
+    loss_config = dict(config["loss"])
+    name = loss_config.pop("name")
+    ignore_index = loss_config.pop("ignore_index", None)
+    skip_last_target = loss_config.pop("skip_last_target", False)
+    weight = loss_config.pop("weight", None)
+    if weight is not None:
+        weight = jnp.asarray(weight)
+
+    if name == "BCEWithLogitsLoss":
+        loss = bce_with_logits_loss
+    elif name == "BCEDiceLoss":
+        alpha = loss_config.get("alphs", 1.0)  # sic: reference key name
+        beta = loss_config.get("beta", 1.0)
+        loss = lambda i, t: bce_dice_loss(i, t, alpha, beta)
+    elif name == "CrossEntropyLoss":
+        loss = lambda i, t: cross_entropy_loss(i, t)
+    elif name == "WeightedCrossEntropyLoss":
+        loss = weighted_cross_entropy_loss
+    elif name == "PixelWiseCrossEntropyLoss":
+        loss = lambda i, t, w: pixel_wise_cross_entropy_loss(
+            i, t, w, class_weights=weight
+        )
+    elif name == "GeneralizedDiceLoss":
+        normalization = loss_config.get("normalization", "sigmoid")
+        loss = lambda i, t: generalized_dice_loss(i, t, normalization=normalization)
+    elif name == "DiceLoss":
+        normalization = loss_config.get("normalization", "sigmoid")
+        loss = lambda i, t: dice_loss(i, t, weight=weight, normalization=normalization)
+    elif name == "MSELoss":
+        loss = mse_loss
+    elif name == "SmoothL1Loss":
+        loss = smooth_l1_loss
+    elif name == "L1Loss":
+        loss = l1_loss
+    elif name == "WeightedSmoothL1Loss":
+        loss = lambda i, t: weighted_smooth_l1_loss(
+            i,
+            t,
+            threshold=loss_config["threshold"],
+            initial_weight=loss_config["initial_weight"],
+            apply_below_threshold=loss_config.get("apply_below_threshold", True),
+        )
+    else:
+        raise RuntimeError(f"Unsupported loss function: '{name}'")
+
+    if not (
+        ignore_index is None
+        or name in ["CrossEntropyLoss", "WeightedCrossEntropyLoss"]
+    ):
+        loss = masked_loss(loss, ignore_index)
+    if skip_last_target:
+        loss = skip_last_target_channel(
+            loss, loss_config.get("squeeze_channel", False)
+        )
+    return loss
+
+
 def get_loss_fn(settings) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Resolve the `loss_criterion` setting to a (logits, one_hot_targets) ->
     scalar function (reference trainer :124-148 dispatch). CrossEntropyLoss

@@ -68,6 +68,47 @@ def mse(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((input.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
 
+def expand_as_one_hot(
+    input: jnp.ndarray, C: int, ignore_index=None
+) -> jnp.ndarray:
+    """(N, *spatial) label map -> (N, C, *spatial) one-hot, keeping
+    `ignore_index` values in place (reference
+    utilities/pytorch3dunet_utils.py:12-44)."""
+    input = input.astype(jnp.int32)
+    if ignore_index is not None:
+        mask = input == ignore_index
+        clean = jnp.where(mask, 0, input)
+        result = jax.nn.one_hot(clean, C, axis=1, dtype=jnp.float32)
+        mask_exp = jnp.broadcast_to(jnp.expand_dims(mask, 1), result.shape)
+        return jnp.where(mask_exp, float(ignore_index), result)
+    return jax.nn.one_hot(input, C, axis=1, dtype=jnp.float32)
+
+
+def convert_to_numpy(*inputs):
+    """Device arrays -> numpy ndarrays (reference
+    utilities/pytorch3dunet_utils.py:47-62)."""
+    import numpy as np
+
+    return (np.asarray(i) for i in inputs)
+
+
+def get_evaluation_metric(config: dict) -> Callable:
+    """Config-driven metric factory mirroring reference
+    pytorch3dunet_metrics.py:135-150."""
+    assert "eval_metric" in config, "Could not find evaluation metric configuration"
+    metric_config = dict(config["eval_metric"])
+    name = metric_config.pop("name")
+    registry = {
+        "DiceCoefficient": dice_coefficient,
+        "MeanIoU": mean_iou,
+        "PSNR": psnr,
+        "MSE": mse,
+    }
+    if name not in registry:
+        raise RuntimeError(f"Unsupported evaluation metric: '{name}'")
+    return registry[name]
+
+
 def get_eval_metric_fn(settings) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Resolve the `eval_metric` setting (reference trainer :150-161)."""
     import logging

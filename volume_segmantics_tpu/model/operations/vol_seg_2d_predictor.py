@@ -63,6 +63,17 @@ class VolSeg2dPredictor:
         self.bundle, self.num_labels, self.label_codes = model_tuple
         self.batch_size = utils.get_batch_size(settings, prediction=True)
         self._sweep_cache = {}
+        # Multi-chip: shard the slice axis of every sweep across the mesh.
+        from volume_segmantics_tpu.parallel.mesh import get_mesh
+
+        self.mesh = get_mesh()
+        self.n_dev = (
+            self.mesh.devices.size
+            if getattr(settings, "data_parallel", True)
+            else 1
+        )
+        if self.n_dev > 1:
+            logging.info(f"Data-parallel prediction over {self.n_dev} devices.")
 
     def _get_model_from_trainer(self, trainer):
         self.bundle = trainer.bundle
@@ -72,12 +83,13 @@ class VolSeg2dPredictor:
     # Device sweep: one compiled program per padded slice shape
     # ------------------------------------------------------------------
 
-    def _sweep_trace(self, variables, vol):
+    def _sweep_trace(self, variables, vol, bs=None):
         """Traceable padded-volume sweep: (N, H, W) uint8, H/W already
         multiples of the stride divisor, N a multiple of the batch size ->
         (labels u8, probs f16). Batched forward via lax.map."""
         module = self.bundle.module
-        bs = self.batch_size
+        if bs is None:
+            bs = self.batch_size
         mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
         cdtype = jnp.dtype(getattr(self.settings, "compute_dtype", cfg.COMPUTE_DTYPE))
         n, ph, pw = vol.shape
@@ -110,12 +122,23 @@ class VolSeg2dPredictor:
             vol = jnp.take(
                 vol, jnp.asarray(_reflect101_indices(-left, pw - left, w)), axis=2
             )
-        n_pad = (-n) % self.batch_size
+        # Pad the slice count so every device gets whole local batches.
+        local_bs = max(self.batch_size // self.n_dev, 1)
+        n_mult = local_bs * self.n_dev
+        n_pad = (-n) % n_mult
         if n_pad:
             vol = jnp.concatenate(
                 [vol, jnp.broadcast_to(vol[-1:], (n_pad, ph, pw))], axis=0
             )
-        labels, probs = self._sweep_trace(variables, vol)
+        if self.n_dev > 1:
+            from volume_segmantics_tpu.parallel.predict import shard_mapped_sweep
+
+            dp = shard_mapped_sweep(
+                lambda v, lv, lbs: self._sweep_trace(v, lv, lbs), self.mesh
+            )
+            labels, probs = dp(variables, vol, self.batch_size)
+        else:
+            labels, probs = self._sweep_trace(variables, vol)
         labels = jax.lax.slice(labels, (0, top, left), (n, top + h, left + w))
         probs = jax.lax.slice(probs, (0, top, left), (n, top + h, left + w))
         return _rotate_to_axis_device(labels, axis), _rotate_to_axis_device(probs, axis)
