@@ -159,6 +159,7 @@ class VolSeg2dTrainer:
             optax.add_decayed_weights(self._weight_decay),
         )
         self.opt_state = self._tx.init(self.bundle.params)
+        self._frozen = frozen
         self._build_steps(frozen)
         logging.info("Trainer created.")
 
@@ -202,6 +203,41 @@ class VolSeg2dTrainer:
     def _count_parameters(self) -> int:
         return self.bundle.count_parameters()
 
+    def _count_trainable_parameters(self, frozen: Optional[bool] = None) -> int:
+        """Parameters receiving updates under the current freeze mask
+        (reference trainer :118-119)."""
+        if frozen is None:
+            frozen = getattr(self, "_frozen", False)
+        mask = _freeze_mask(self.bundle.params, frozen)
+        return int(
+            sum(
+                float(m) * np.prod(np.asarray(p).shape)
+                for m, p in zip(
+                    jax.tree_util.tree_leaves(mask),
+                    jax.tree_util.tree_leaves(self.bundle.params),
+                )
+            )
+        )
+
+    def _freeze_model(self):
+        """Freeze encoder conv kernels (reference trainer :102-108).
+        Rebuilds the jitted step with the frozen-update mask."""
+        logging.info(
+            f"Freezing model with {self._count_trainable_parameters(False)} "
+            f"trainable parameters, {self._count_parameters()} total parameters."
+        )
+        self._frozen = True
+        self._build_steps(frozen=True)
+
+    def _unfreeze_model(self):
+        """Unfreeze all parameters (reference trainer :110-116)."""
+        logging.info(
+            f"Unfreezing model with {self._count_trainable_parameters(True)} "
+            f"trainable parameters, {self._count_parameters()} total parameters."
+        )
+        self._frozen = False
+        self._build_steps(frozen=False)
+
     # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------
@@ -243,6 +279,13 @@ class VolSeg2dTrainer:
         lr_schedule = self._create_oc_lr_schedule(num_epochs, lr_to_use)
         global_step = 0
 
+        # Optional XLA profiling of the first epoch (reference has only
+        # per-epoch wall-clock logging, SURVEY.md §5; the TPU build adds a
+        # jax.profiler trace behind a settings flag).
+        profile_dir = getattr(self.settings, "profile_dir", None)
+        if profile_dir:
+            jax.profiler.start_trace(str(profile_dir))
+
         for epoch in range(1, num_epochs + 1):
             tic = time.perf_counter()
             logging.info(f"Epoch {epoch} of {num_epochs}")
@@ -282,6 +325,11 @@ class VolSeg2dTrainer:
             logging.info(f"Time taken for epoch {epoch}: {toc - tic:0.2f} seconds")
             train_losses, valid_losses, eval_scores = [], [], []
 
+            if profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
+                profile_dir = None
+                logging.info("Saved XLA profile trace for epoch 1.")
+
             early_stopping(
                 self.avg_valid_losses[-1], self, None, self.codes
             )
@@ -289,6 +337,8 @@ class VolSeg2dTrainer:
                 logging.info("Early stopping")
                 break
 
+        if profile_dir:
+            jax.profiler.stop_trace()
         self._load_in_weights(output_path)
 
     def _shard(self, batch):
