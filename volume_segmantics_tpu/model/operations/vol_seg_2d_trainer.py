@@ -295,7 +295,7 @@ class VolSeg2dTrainer:
                 bar_format=cfg.TQDM_BAR_FORMAT,
             ):
                 lr = float(lr_schedule(global_step))
-                loss = self._train_one_batch(images, masks, lr)
+                loss = self._train_one_batch_async(images, masks, lr)
                 global_step += 1
                 train_losses.append(loss)
 
@@ -310,8 +310,13 @@ class VolSeg2dTrainer:
                     self._shard(images),
                     self._shard(masks),
                 )
-                valid_losses.append(float(loss))
-                eval_scores.append(float(score))
+                valid_losses.append(loss)
+                eval_scores.append(score)
+
+            # Pull all per-step scalars in ONE device round-trip.
+            train_losses = list(np.asarray(jnp.stack(train_losses)))
+            valid_losses = list(np.asarray(jnp.stack(valid_losses)))
+            eval_scores = list(np.asarray(jnp.stack(eval_scores)))
 
             toc = time.perf_counter()
             self.avg_train_losses.append(float(np.average(train_losses)))
@@ -346,7 +351,11 @@ class VolSeg2dTrainer:
 
         return shard_batch(np.ascontiguousarray(batch), self.mesh)
 
-    def _train_one_batch(self, images, masks, lr) -> float:
+    def _train_one_batch_async(self, images, masks, lr):
+        """Dispatch one fused train step; returns the loss as a DEVICE
+        scalar without blocking, so steps pipeline on-device instead of
+        paying a host round-trip per batch (the tunnel RTT dominates
+        otherwise)."""
         params, bs, opt_state, loss = self._train_step(
             self.bundle.params,
             self.bundle.batch_stats,
@@ -358,7 +367,10 @@ class VolSeg2dTrainer:
         )
         self.bundle.variables = {"params": params, "batch_stats": bs}
         self.opt_state = opt_state
-        return float(loss)
+        return loss
+
+    def _train_one_batch(self, images, masks, lr) -> float:
+        return float(self._train_one_batch_async(images, masks, lr))
 
     # ------------------------------------------------------------------
     # Checkpoint load

@@ -118,29 +118,27 @@ def _elastic_coords(rng, coords, size):
     return jnp.stack([mapped[:, 0], mapped[:, 1]]).reshape(2, size, size)
 
 
-def _grid_axis_map(rng, size):
-    """1D piecewise-linear index map for GridDistortion (albumentations
-    semantics: per-cell slope 1 + U(-limit, limit), partial last cell pinned
-    to the image edge)."""
+def _grid_axis_apply(rng, v, size):
+    """Piecewise-linear GridDistortion map evaluated directly on coordinate
+    field `v` (albumentations semantics: per-cell slope 1 + U(-limit, limit),
+    partial last cell pinned to the image edge). Direct evaluation over the
+    <= 6 static cells — no table + searchsorted interp (slow on TPU)."""
     step = size // GRID_NUM_STEPS
     starts = list(range(0, size, step))
     n_cells = len(starts)
     factors = 1.0 + jax.random.uniform(
         rng, (n_cells,), minval=-GRID_DISTORT_LIMIT, maxval=GRID_DISTORT_LIMIT
     )
-    idx = jnp.arange(size, dtype=jnp.float32)
-    out = jnp.zeros((size,), dtype=jnp.float32)
+    out = jnp.zeros_like(v)
     prev = jnp.float32(0.0)
     for i, start in enumerate(starts):
         end = min(start + step, size)
         n = end - start
         partial_cell = start + step > size
         cur = jnp.float32(size) if partial_cell else prev + step * factors[i]
-        if n > 1:
-            seg = prev + (idx - start) * (cur - prev) / (n - 1)
-        else:
-            seg = jnp.full((size,), prev)
-        in_cell = (idx >= start) & (idx < end)
+        slope = (cur - prev) / max(n - 1, 1)
+        seg = prev + (v - start) * (slope if n > 1 else 0.0)
+        in_cell = (v >= start) & (v < end)
         out = jnp.where(in_cell, seg, out)
         prev = cur
     return out
@@ -148,12 +146,8 @@ def _grid_axis_map(rng, size):
 
 def _grid_coords(rng, coords, size):
     k_y, k_x = jax.random.split(rng)
-    map_y = _grid_axis_map(k_y, size)
-    map_x = _grid_axis_map(k_x, size)
-    # Sample the 1D maps at the (possibly already transformed) coords via
-    # linear interpolation so grid distortion composes with other warps.
-    y = jnp.interp(coords[0], jnp.arange(size, dtype=jnp.float32), map_y)
-    x = jnp.interp(coords[1], jnp.arange(size, dtype=jnp.float32), map_x)
+    y = _grid_axis_apply(k_y, coords[0], size)
+    x = _grid_axis_apply(k_x, coords[1], size)
     return jnp.stack([y, x])
 
 
@@ -182,28 +176,20 @@ def _optical_coords(rng, coords, size):
     return jnp.stack([y, x])
 
 
-def _geometric_coords(rng, size):
+def _geometric_coords(rng, distorted, size):
     """Compose every geometric augmentation into one (2, S, S) source field.
 
     Output -> source composition order is the reverse of the image-space
-    pipeline order (crop, flip, rot90, transpose, distortion)."""
+    pipeline order (crop, flip, rot90, transpose, distortion). `distorted`
+    is this sample's precomputed distortion field (the OneOf branch is drawn
+    once per batch — see augment_batch — so only one distortion kind is
+    computed instead of all three per sample under vmap+switch)."""
     keys = jax.random.split(rng, 10)
     coords = identity_coords(size, size)
     s = float(size - 1)
 
-    # OneOf distortion, p = 0.5
+    # Apply distortion with p = 0.5
     do_distort = jax.random.bernoulli(keys[0], 0.5)
-    branch = jax.random.randint(keys[1], (), 0, 3)
-    distorted = jax.lax.switch(
-        branch,
-        [
-            lambda r, c: _elastic_coords(r, c, size),
-            lambda r, c: _grid_coords(r, c, size),
-            lambda r, c: _optical_coords(r, c, size),
-        ],
-        keys[2],
-        coords,
-    )
     coords = jnp.where(do_distort, distorted, coords)
 
     # Transpose, p = 0.5 (inverse of transpose is itself: swap (y, x))
@@ -254,9 +240,9 @@ def _intensity(rng, img):
     return jnp.where(do_bcg, adjusted, img)
 
 
-def _augment_one(rng, img, mask, size):
+def _augment_one(rng, distorted, img, mask, size):
     k_geo, k_int = jax.random.split(rng)
-    coords = _geometric_coords(k_geo, size)
+    coords = _geometric_coords(k_geo, distorted, size)
     img_out = bilinear_sample(img, coords)
     mask_out = nearest_sample(mask, coords)
     img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
@@ -275,9 +261,28 @@ def augment_batch(rng, images, masks, size):
 
     Returns:
         (images, masks) augmented, same shapes/dtypes.
+
+    The OneOf distortion *kind* (elastic/grid/optical) is drawn once per
+    batch rather than per sample: under vmap a per-sample lax.switch would
+    compute all three branches for every sample. Whether a given sample is
+    distorted at all (p=0.5) remains per-sample.
     """
-    keys = jax.random.split(rng, images.shape[0])
-    imgs, msks = jax.vmap(lambda k, i, m: _augment_one(k, i, m, size))(
-        keys, images, masks
+    n = images.shape[0]
+    k_branch, k_dist, k_samples = jax.random.split(rng, 3)
+    branch = jax.random.randint(k_branch, (), 0, 3)
+    dist_keys = jax.random.split(k_dist, n)
+    ident = identity_coords(size, size)
+    distorted = jax.lax.switch(
+        branch,
+        [
+            lambda ks: jax.vmap(lambda k: _elastic_coords(k, ident, size))(ks),
+            lambda ks: jax.vmap(lambda k: _grid_coords(k, ident, size))(ks),
+            lambda ks: jax.vmap(lambda k: _optical_coords(k, ident, size))(ks),
+        ],
+        dist_keys,
     )
+    keys = jax.random.split(k_samples, n)
+    imgs, msks = jax.vmap(
+        lambda k, d, i, m: _augment_one(k, d, i, m, size)
+    )(keys, distorted, images, masks)
     return imgs, msks.astype(masks.dtype)

@@ -37,11 +37,12 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y1r = reflect101_index(y0 + 1, h)
     x0r = reflect101_index(x0, w)
     x1r = reflect101_index(x0 + 1, w)
-    imgf = img.astype(jnp.float32)
-    v00 = imgf[y0r, x0r]
-    v01 = imgf[y0r, x1r]
-    v10 = imgf[y1r, x0r]
-    v11 = imgf[y1r, x1r]
+    # Flat 1-D takes lower to a faster TPU gather than 2-D advanced indexing.
+    flat = img.astype(jnp.float32).reshape(-1)
+    v00 = jnp.take(flat, y0r * w + x0r)
+    v01 = jnp.take(flat, y0r * w + x1r)
+    v10 = jnp.take(flat, y1r * w + x0r)
+    v11 = jnp.take(flat, y1r * w + x1r)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -54,7 +55,7 @@ def nearest_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     x = jnp.round(coords[1]).astype(jnp.int32)
     y = reflect101_index(y, h)
     x = reflect101_index(x, w)
-    return img[y, x]
+    return jnp.take(img.reshape(-1), y * w + x)
 
 
 def identity_coords(height: int, width: int) -> jnp.ndarray:
