@@ -79,18 +79,27 @@ def _rot90_inverse_coords(coords, k, size):
     return jax.lax.switch(k, branches)
 
 
+def _smooth_noise_field(rng, size):
+    """Gaussian-smoothed uniform noise, computed at 1/4 resolution and
+    bilinearly upsampled. sigma=8.4 wipes out all structure finer than
+    ~8 px, so generating at size/4 with sigma/4 produces a statistically
+    equivalent field at ~1/16 the blur cost."""
+    factor = 4
+    small = size // factor
+    noise = jax.random.uniform(rng, (small, small), minval=-1.0, maxval=1.0)
+    # Blurred white noise has std ~ 1/(2*sigma*sqrt(pi)); at sigma/factor the
+    # field comes out `factor`x stronger, so rescale to match the full-res
+    # amplitude albumentations would produce.
+    blurred = gaussian_blur_2d(noise, ELASTIC_SIGMA / factor) / factor
+    return jax.image.resize(blurred, (size, size), method="bilinear")
+
+
 def _elastic_coords(rng, coords, size):
     """ElasticTransform: smoothed random displacement plus a small random
     affine (reference augmentations.py:90-92 parameters)."""
     k_dx, k_dy, k_aff = jax.random.split(rng, 3)
-    dx = gaussian_blur_2d(
-        jax.random.uniform(k_dx, (size, size), minval=-1.0, maxval=1.0),
-        ELASTIC_SIGMA,
-    ) * ELASTIC_ALPHA
-    dy = gaussian_blur_2d(
-        jax.random.uniform(k_dy, (size, size), minval=-1.0, maxval=1.0),
-        ELASTIC_SIGMA,
-    ) * ELASTIC_ALPHA
+    dx = _smooth_noise_field(k_dx, size) * ELASTIC_ALPHA
+    dy = _smooth_noise_field(k_dy, size) * ELASTIC_ALPHA
     displaced = jnp.stack([coords[0] + dy, coords[1] + dx])
 
     # Random affine from perturbing 3 control points of a centred square

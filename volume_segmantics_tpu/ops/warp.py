@@ -37,14 +37,15 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y1r = reflect101_index(y0 + 1, h)
     x0r = reflect101_index(x0, w)
     x1r = reflect101_index(x0 + 1, w)
-    # Flat 1-D takes lower to a faster TPU gather than 2-D advanced indexing.
+    # One flat 1-D gather for all four taps: faster on TPU than 2-D
+    # advanced indexing or four separate takes.
     flat = img.astype(jnp.float32).reshape(-1)
-    v00 = jnp.take(flat, y0r * w + x0r)
-    v01 = jnp.take(flat, y0r * w + x1r)
-    v10 = jnp.take(flat, y1r * w + x0r)
-    v11 = jnp.take(flat, y1r * w + x1r)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
+    idx = jnp.stack(
+        [y0r * w + x0r, y0r * w + x1r, y1r * w + x0r, y1r * w + x1r]
+    )
+    v = jnp.take(flat, idx)
+    top = v[0] * (1 - wx) + v[1] * wx
+    bot = v[2] * (1 - wx) + v[3] * wx
     return top * (1 - wy) + bot * wy
 
 
