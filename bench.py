@@ -71,15 +71,24 @@ def main():
         vol = rng.integers(0, 255, (VOL_SIDE, VOL_SIDE, VOL_SIDE)).astype(np.uint8)
 
         # Warm-up: compile the sweep + merges (cached for the timed run).
-        print("# warm-up (compile)...", file=sys.stderr)
-        t0 = time.perf_counter()
-        predictor._predict_12_ways_max_probs(vol)
-        warm = time.perf_counter() - t0
-        print(f"# warm-up took {warm:.2f}s", file=sys.stderr)
+        # One retry guards against transient device-tunnel hiccups.
+        for attempt in range(2):
+            try:
+                print("# warm-up (compile)...", file=sys.stderr)
+                t0 = time.perf_counter()
+                predictor._predict_12_ways_max_probs(vol)
+                warm = time.perf_counter() - t0
+                print(f"# warm-up took {warm:.2f}s", file=sys.stderr)
 
-        t0 = time.perf_counter()
-        labels, probs = predictor._predict_12_ways_max_probs(vol)
-        elapsed = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                labels, probs = predictor._predict_12_ways_max_probs(vol)
+                elapsed = time.perf_counter() - t0
+                break
+            except Exception as e:  # pragma: no cover - transient device issue
+                if attempt == 1:
+                    raise
+                print(f"# attempt failed ({e}); retrying in 30s", file=sys.stderr)
+                time.sleep(30)
         assert labels.shape == vol.shape and labels.dtype == np.uint8
 
     print(

@@ -133,3 +133,42 @@ class TestCrop:
         out = utils.crop_array_to_dims(arr, (4, 4))
         assert out.shape == (4, 4)
         assert out[0, 0] == arr[1, 1]
+
+
+class TestNexusIO:
+    def test_nxs_primary_path(self, tmp_path, rand_int_volume):
+        import h5py as h5
+
+        path = tmp_path / "vol.nxs"
+        with h5.File(path, "w") as f:
+            f["processed/result/data"] = rand_int_volume
+        data, _ = utils.numpy_from_hdf5(path, nexus=True)
+        assert np.array_equal(data, rand_int_volume)
+
+    def test_nxs_fallback_path(self, tmp_path, rand_int_volume):
+        import h5py as h5
+
+        path = tmp_path / "vol.nxs"
+        with h5.File(path, "w") as f:
+            f["entry/final_result_tomo/data"] = rand_int_volume
+        data, _ = utils.numpy_from_hdf5(path, nexus=True)
+        assert np.array_equal(data, rand_int_volume)
+
+    def test_nxs_missing_exits(self, tmp_path, rand_int_volume):
+        import h5py as h5
+        import pytest
+
+        path = tmp_path / "vol.nxs"
+        with h5.File(path, "w") as f:
+            f["/data"] = rand_int_volume
+        with pytest.raises(SystemExit):
+            utils.numpy_from_hdf5(path, nexus=True)
+
+    def test_get_numpy_dispatches_nxs(self, tmp_path, rand_int_volume):
+        import h5py as h5
+
+        path = tmp_path / "vol.nxs"
+        with h5.File(path, "w") as f:
+            f["processed/result/data"] = rand_int_volume
+        data, chunking = utils.get_numpy_from_path(path)
+        assert np.array_equal(data, rand_int_volume)

@@ -96,6 +96,7 @@ class TrainingDataSlicer(BaseDataManager):
 
     def output_data_slices(self, data_dir: Path, prefix: str) -> None:
         """Slice the image volume to PNGs on disk."""
+        data_dir = Path(data_dir)
         self.data_im_out_dir = data_dir
         logging.info("Slicing data volume and saving slices to disk")
         os.makedirs(data_dir, exist_ok=True)
@@ -103,6 +104,7 @@ class TrainingDataSlicer(BaseDataManager):
 
     def output_label_slices(self, data_dir: Path, prefix: str) -> None:
         """Slice the label volume to PNGs on disk."""
+        data_dir = Path(data_dir)
         self.seg_im_out_dir = data_dir
         logging.info("Slicing label volume and saving slices to disk")
         os.makedirs(data_dir, exist_ok=True)
