@@ -38,3 +38,34 @@ def test_streaming_to_hdf5(predictor, tmp_path):
         data = f["/data"][()]
     assert data.shape == vol.shape
     assert data.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_manager_auto_streams_large_volumes(
+    model_path, prediction_settings, tmp_path
+):
+    """The prediction manager switches to the streaming path above the
+    voxel threshold and produces results identical to the in-memory path."""
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    vol = np.random.default_rng(2).integers(0, 255, (12, 34, 21)).astype(np.float32)
+    prediction_settings.clip_data = True
+
+    mgr = VolSeg2DPredictionManager(model_path, vol.copy(), prediction_settings)
+    baseline = mgr.predict_volume_to_path(None, Quality.MEDIUM)
+
+    prediction_settings.streaming_threshold = 100  # force streaming
+    mgr2 = VolSeg2DPredictionManager(model_path, vol.copy(), prediction_settings)
+    out = tmp_path / "streamed_mgr.h5"
+    streamed = mgr2.predict_volume_to_path(out, Quality.MEDIUM)
+    assert np.array_equal(np.asarray(streamed), baseline)
+    assert out.exists()
+
+    prediction_settings.prediction_axis = "Y"
+    mgr3 = VolSeg2DPredictionManager(model_path, vol.copy(), prediction_settings)
+    low_streamed = mgr3.predict_volume_to_path(None, Quality.LOW)
+    del prediction_settings.streaming_threshold
+    prediction_settings.prediction_axis = "Y"
+    mgr4 = VolSeg2DPredictionManager(model_path, vol.copy(), prediction_settings)
+    low_mem = mgr4.predict_volume_to_path(None, Quality.LOW)
+    assert np.array_equal(np.asarray(low_streamed), low_mem)

@@ -34,6 +34,10 @@ class VolSeg2DPredictionManager(BaseDataManager):
         """Label codes retrieved from the saved model."""
         return self.predictor.label_codes
 
+    # Volumes larger than this stream through slabs + host memmaps instead
+    # of living wholly in HBM (override with settings.streaming_threshold).
+    STREAMING_THRESHOLD_VOXELS = 1024**3
+
     def predict_volume_to_path(
         self,
         output_path: Union[Path, None],
@@ -41,12 +45,61 @@ class VolSeg2DPredictionManager(BaseDataManager):
     ) -> np.ndarray:
         """Predict a 3D segmentation at the requested quality and optionally
         save it (and max-probabilities) to gzip HDF5 (reference manager
-        :43-100)."""
+        :43-100). Very large volumes automatically switch to the slab-
+        streaming path (constant device memory)."""
         probs = None
         one_hot = self.settings.one_hot
         preferred_axis = utils.get_prediction_axis(self.settings)
         if quality is None:
             quality = utils.get_prediction_quality(self.settings)
+        threshold = int(
+            getattr(
+                self.settings, "streaming_threshold", self.STREAMING_THRESHOLD_VOXELS
+            )
+        )
+        if (
+            not one_hot
+            and self.data_vol.size > threshold
+            and quality in (utils.Quality.LOW, utils.Quality.MEDIUM)
+        ):
+            import logging
+
+            from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
+                VolSegLargeVolPredictor,
+            )
+
+            logging.info(
+                f"Volume has {self.data_vol.size} voxels (> {threshold}); "
+                "using the slab-streaming predictor."
+            )
+            large = VolSegLargeVolPredictor(self.predictor)
+            if quality == utils.Quality.LOW:
+                # Streaming outputs accumulate in the rotated orientation;
+                # rotate the memmap views back afterwards (zero-copy).
+                s = list(self.data_vol.shape)
+                if preferred_axis != utils.Axis.Z:
+                    s[0], s[preferred_axis.value] = s[preferred_axis.value], s[0]
+                rot_shape = tuple(s)
+                labels = large._memmap("labels", rot_shape, np.uint8)
+                probs_mm = large._memmap("probs", rot_shape, np.float16)
+                large._predict_axis_streaming(
+                    self.data_vol, preferred_axis, labels, probs_mm
+                )
+                prediction = utils.rotate_array_to_axis(labels, preferred_axis)
+                probs = utils.rotate_array_to_axis(probs_mm, preferred_axis)
+            else:
+                prediction, probs = large.predict_3_ways(self.data_vol)
+            if output_path is not None:
+                utils.save_data_to_hdf5(
+                    prediction, output_path, chunking=self.input_data_chunking
+                )
+                if self.settings.output_probs:
+                    utils.save_data_to_hdf5(
+                        probs,
+                        f"{output_path.parent / output_path.stem}_probs.h5",
+                        chunking=self.input_data_chunking,
+                    )
+            return prediction
         if quality == utils.Quality.LOW:
             if one_hot:
                 prediction = self.predictor._predict_single_axis_to_one_hot(
