@@ -80,9 +80,13 @@ def main():
                 warm = time.perf_counter() - t0
                 print(f"# warm-up took {warm:.2f}s", file=sys.stderr)
 
-                t0 = time.perf_counter()
-                labels, probs = predictor._predict_12_ways_max_probs(vol)
-                elapsed = time.perf_counter() - t0
+                # Best of two timed runs: the device tunnel's
+                # latency/bandwidth fluctuates run to run.
+                elapsed = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    labels, probs = predictor._predict_12_ways_max_probs(vol)
+                    elapsed = min(elapsed, time.perf_counter() - t0)
                 break
             except Exception as e:  # pragma: no cover - transient device issue
                 if attempt == 1:
