@@ -64,3 +64,20 @@ class TestTrainer:
         trainer.train_model(model_out, 1, 2, create=True, frozen=True)
         trainer.train_model(model_out, 1, 2, create=False, frozen=False)
         assert len(trainer.avg_train_losses) == 2
+
+
+@pytest.mark.slow
+def test_trainer_from_slicer_in_memory(fast_settings, tmp_path):
+    """Zero-disk path: slicer -> trainer without PNG export."""
+    from volume_segmantics_tpu.data import TrainingDataSlicer
+
+    fast_settings.clip_data = False
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, (10, 20, 24)).astype(np.uint8)
+    labels = (vol > 128).astype(np.uint8)
+    slicer = TrainingDataSlicer(vol, labels, fast_settings)
+    trainer = VolSeg2dTrainer.from_slicer(slicer, slicer.num_seg_classes, fast_settings)
+    assert len(trainer.training_loader.indices) > 0
+    model_out = tmp_path / "mem_model.pytorch"
+    trainer.train_model(model_out, 1, 2, create=True, frozen=True)
+    assert model_out.exists()

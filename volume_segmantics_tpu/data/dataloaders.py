@@ -58,18 +58,39 @@ class ArrayBatcher:
             yield self.images[chunk], self.masks[chunk], n_valid
 
 
+def _preprocess_slice_lists(data_slices, label_slices, settings):
+    """Resize/pad in-memory slice lists to the square training size and
+    stack them (the PNG-free fast path fed by
+    TrainingDataSlicer.get_slice_arrays)."""
+    import volume_segmantics_tpu.data.augmentations as augs
+
+    pre = augs.get_train_preprocess_augs(settings.image_size)
+    images, masks = [], []
+    for img, msk in zip(data_slices, label_slices):
+        sample = pre(image=np.asarray(img), mask=np.asarray(msk))
+        images.append(sample["image"])
+        masks.append(sample["mask"])
+    return np.stack(images).astype(np.uint8), np.stack(masks).astype(np.uint8)
+
+
 def get_2d_training_dataloaders(
-    image_dir: Path, label_dir: Path, settings: SimpleNamespace
+    image_dir, label_dir, settings: SimpleNamespace
 ) -> Tuple[ArrayBatcher, ArrayBatcher]:
     """Train/validation batchers with a random permutation split at
-    `training_set_proportion` (reference dataloaders.py:15-56)."""
+    `training_set_proportion` (reference dataloaders.py:15-56).
+
+    Accepts either PNG slice directories (reference workflow) or in-memory
+    slice lists/arrays (the zero-disk fast path)."""
     training_set_prop = settings.training_set_proportion
     batch_size = utils.get_batch_size(settings)
 
-    dataset = get_2d_training_dataset(image_dir, label_dir, settings)
-    images, masks = dataset.stacked_arrays()
-
-    dset_length = len(dataset)
+    if isinstance(image_dir, (list, tuple, np.ndarray)):
+        images, masks = _preprocess_slice_lists(image_dir, label_dir, settings)
+        dset_length = images.shape[0]
+    else:
+        dataset = get_2d_training_dataset(image_dir, label_dir, settings)
+        images, masks = dataset.stacked_arrays()
+        dset_length = len(dataset)
     indices = np.random.permutation(dset_length)
     split = int(dset_length * training_set_prop)
     train_idx, validate_idx = indices[:split], indices[split:]

@@ -63,7 +63,19 @@ def _freeze_mask(params, frozen: bool):
 
 
 class VolSeg2dTrainer:
-    """Trains a 2d model and outputs loss curves and example predictions."""
+    """Trains a 2d model and outputs loss curves and example predictions.
+
+    `image_dir_path`/`label_dir_path` may be PNG slice directories
+    (reference workflow) or in-memory slice lists (zero-disk fast path; see
+    `from_slicer`).
+    """
+
+    @classmethod
+    def from_slicer(cls, slicer, labels, settings):
+        """Build a trainer directly from a TrainingDataSlicer without the
+        PNG disk round-trip (TPU-first fast path)."""
+        data_slices, label_slices = slicer.get_slice_arrays()
+        return cls(data_slices, label_slices, labels, settings)
 
     def __init__(
         self,

@@ -40,18 +40,32 @@ def main():
     seg_im_out_dir = root_path / settings.seg_im_out_dirname
     max_label_no = 0
     label_codes = None
+    # slice_to_disk=False keeps slices in memory (TPU-first fast path; no
+    # PNG round-trip). Default True matches the reference workflow.
+    slice_to_disk = bool(getattr(settings, "slice_to_disk", True))
+    mem_data, mem_labels = [], []
     for count, (data_vol_path, label_vol_path) in enumerate(
         zip(data_vols, label_vols)
     ):
         slicer = TrainingDataSlicer(data_vol_path, label_vol_path, settings)
-        data_prefix, label_prefix = f"data{count}", f"seg{count}"
-        slicer.output_data_slices(data_im_out_dir, data_prefix)
-        slicer.output_label_slices(seg_im_out_dir, label_prefix)
+        if slice_to_disk:
+            data_prefix, label_prefix = f"data{count}", f"seg{count}"
+            slicer.output_data_slices(data_im_out_dir, data_prefix)
+            slicer.output_label_slices(seg_im_out_dir, label_prefix)
+        else:
+            d, l = slicer.get_slice_arrays()
+            mem_data.extend(d)
+            mem_labels.extend(l)
         if slicer.num_seg_classes > max_label_no:
             max_label_no = slicer.num_seg_classes
             label_codes = slicer.codes
     assert label_codes is not None
-    trainer = VolSeg2dTrainer(data_im_out_dir, seg_im_out_dir, max_label_no, settings)
+    if slice_to_disk:
+        trainer = VolSeg2dTrainer(
+            data_im_out_dir, seg_im_out_dir, max_label_no, settings
+        )
+    else:
+        trainer = VolSeg2dTrainer(mem_data, mem_labels, max_label_no, settings)
     num_cyc_frozen = settings.num_cyc_frozen
     num_cyc_unfrozen = settings.num_cyc_unfrozen
     model_type = settings.model["type"]
