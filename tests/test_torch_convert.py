@@ -141,3 +141,133 @@ def test_pretrained_encoder_cache(tmp_path, monkeypatch):
     )
     assert got.shape == (7, 7, 1, 64)
     assert np.allclose(got, expected, atol=1e-6)
+
+
+def _inverse_convbn(sd, tree, stats, t_conv, t_bn):
+    sd[f"{t_conv}.weight"] = np.transpose(np.asarray(tree["conv"]["kernel"]), (3, 2, 0, 1))
+    sd[f"{t_bn}.weight"] = np.asarray(tree["bn"]["scale"])
+    sd[f"{t_bn}.bias"] = np.asarray(tree["bn"]["bias"])
+    sd[f"{t_bn}.running_mean"] = np.asarray(stats["bn"]["mean"])
+    sd[f"{t_bn}.running_var"] = np.asarray(stats["bn"]["var"])
+
+
+def _inverse_conv(sd, name, kernel, bias=None):
+    sd[f"{name}.weight"] = np.transpose(np.asarray(kernel), (3, 2, 0, 1))
+    if bias is not None:
+        sd[f"{name}.bias"] = np.asarray(bias)
+
+
+def _timm_sd_from_ours(encoder_name, params, stats):
+    """Inverse of the converter: emit a timm-named state dict from our
+    initialised encoder tree. converter(inverse(x)) == x proves full
+    coverage + correct transposition."""
+    sd = {}
+    p, s = params, stats
+    if "efficientnet" in encoder_name:
+        _inverse_conv(sd, "encoder.conv_stem", p["conv_stem"]["kernel"])
+        sd["encoder.bn1.weight"] = np.asarray(p["bnact_stem"]["bn"]["scale"])
+        sd["encoder.bn1.bias"] = np.asarray(p["bnact_stem"]["bn"]["bias"])
+        sd["encoder.bn1.running_mean"] = np.asarray(s["bnact_stem"]["bn"]["mean"])
+        sd["encoder.bn1.running_var"] = np.asarray(s["bnact_stem"]["bn"]["var"])
+        for name in p:
+            if not name.startswith("stage"):
+                continue
+            st, bl = name.replace("stage", "").split("_block")
+            t = f"encoder.blocks.{int(st) - 1}.{bl}"
+            blk, bst = p[name], s[name]
+            def bn_out(t_bn, f_name):
+                sd[f"{t_bn}.weight"] = np.asarray(blk[f_name]["bn"]["scale"])
+                sd[f"{t_bn}.bias"] = np.asarray(blk[f_name]["bn"]["bias"])
+                sd[f"{t_bn}.running_mean"] = np.asarray(bst[f_name]["bn"]["mean"])
+                sd[f"{t_bn}.running_var"] = np.asarray(bst[f_name]["bn"]["var"])
+            if "conv_expand" in blk:
+                _inverse_conv(sd, f"{t}.conv_pw", blk["conv_expand"]["kernel"])
+                bn_out(f"{t}.bn1", "bnact_expand")
+                _inverse_conv(sd, f"{t}.conv_dw", blk["conv_depthwise"]["kernel"])
+                bn_out(f"{t}.bn2", "bnact_depthwise")
+                _inverse_conv(sd, f"{t}.conv_pwl", blk["conv_project"]["kernel"])
+                bn_out(f"{t}.bn3", "bnact_project")
+            else:
+                _inverse_conv(sd, f"{t}.conv_dw", blk["conv_depthwise"]["kernel"])
+                bn_out(f"{t}.bn1", "bnact_depthwise")
+                _inverse_conv(sd, f"{t}.conv_pw", blk["conv_project"]["kernel"])
+                bn_out(f"{t}.bn2", "bnact_project")
+            _inverse_conv(sd, f"{t}.se.conv_reduce",
+                          blk["se"]["conv_reduce"]["kernel"],
+                          blk["se"]["conv_reduce"]["bias"])
+            _inverse_conv(sd, f"{t}.se.conv_expand",
+                          blk["se"]["conv_expand"]["kernel"],
+                          blk["se"]["conv_expand"]["bias"])
+    elif "resnest" in encoder_name:
+        stem = [("conv1.0", "conv1.1", "stem_conv1"),
+                ("conv1.3", "conv1.4", "stem_conv2"),
+                ("conv1.6", "bn1", "stem_conv3")]
+        for t_conv, t_bn, f_name in stem:
+            _inverse_convbn(sd, p[f_name], s[f_name],
+                            f"encoder.{t_conv}", f"encoder.{t_bn}")
+        for name in p:
+            if not name.startswith("layer"):
+                continue
+            st, bl = name.replace("layer", "").split("_")
+            t = f"encoder.layer{st}.{bl}"
+            blk, bst = p[name], s[name]
+            _inverse_convbn(sd, blk["convbn1"], bst["convbn1"],
+                            f"{t}.conv1", f"{t}.bn1")
+            sp, sps = blk["splat"], bst["splat"]
+            _inverse_conv(sd, f"{t}.conv2.conv", sp["conv"]["kernel"])
+            for fb, tb in (("bn0", "bn0"), ("bn1", "bn1")):
+                sd[f"{t}.conv2.{tb}.weight"] = np.asarray(sp[fb]["scale"])
+                sd[f"{t}.conv2.{tb}.bias"] = np.asarray(sp[fb]["bias"])
+                sd[f"{t}.conv2.{tb}.running_mean"] = np.asarray(sps[fb]["mean"])
+                sd[f"{t}.conv2.{tb}.running_var"] = np.asarray(sps[fb]["var"])
+            for ff, tf in (("conv_fc1", "fc1"), ("conv_fc2", "fc2")):
+                _inverse_conv(sd, f"{t}.conv2.{tf}", sp[ff]["kernel"], sp[ff]["bias"])
+            _inverse_convbn(sd, blk["convbn3"], bst["convbn3"],
+                            f"{t}.conv3", f"{t}.bn3")
+            if "conv_down" in blk:
+                _inverse_convbn(sd, blk["conv_down"], bst["conv_down"],
+                                f"{t}.downsample.1", f"{t}.downsample.2")
+    return sd
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "encoder_name", ["efficientnet-b3", "timm-resnest50d"]
+)
+def test_encoder_conversion_roundtrip(encoder_name):
+    """converter(inverse(our_params)) must reproduce our params exactly,
+    proving the timm name map covers every leaf with correct layout."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from volume_segmantics_tpu.models.registry import _get_encoder
+    from volume_segmantics_tpu.models.torch_convert import (
+        convert_encoder_state_dict,
+    )
+
+    encoder, _ = _get_encoder(encoder_name, jnp.float32)
+    variables = jax.jit(lambda r, d: encoder.init(r, d, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1), jnp.float32)
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = _timm_sd_from_ours(encoder_name, params, stats)
+    name = encoder_name.replace("timm-", "")
+    conv_params, conv_stats = convert_encoder_state_dict(sd, name)
+    # Every leaf must round-trip exactly
+    merged = serialization.from_state_dict(params, conv_params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    merged_stats = serialization.from_state_dict(stats, conv_stats)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stats), jax.tree_util.tree_leaves(merged_stats)
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # And the converter must have produced every leaf (no silent fallbacks
+    # to the init template).
+    n_ours = len(jax.tree_util.tree_leaves(params))
+    n_conv = len(jax.tree_util.tree_leaves(conv_params))
+    assert n_conv == n_ours

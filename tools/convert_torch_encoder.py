@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from flax import serialization
 
-from volume_segmantics_tpu.models.torch_convert import _convert_resnet_encoder
+from volume_segmantics_tpu.models.torch_convert import convert_encoder_state_dict
 
 
 def main():
@@ -46,24 +46,19 @@ def main():
         sd = sd["state_dict"]
     sd = {k: np.asarray(v) for k, v in sd.items() if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
 
-    if not args.encoder_name.startswith(("resnet", "resnext")):
-        raise SystemExit(
-            f"Conversion for '{args.encoder_name}' not implemented yet "
-            "(resnet-family only)."
-        )
-    # torchvision names have no 'encoder.' prefix; add it for the shared
-    # converter (which strips it back out).
+    # torchvision/timm names have no 'encoder.' prefix; add it for the
+    # shared converters.
     sd = {f"encoder.{k}": v for k, v in sd.items()}
-    params, stats = {}, {}
-    _convert_resnet_encoder(sd, params, stats, prefix="encoder")
-    blob = {"params": params["encoder"], "batch_stats": stats["encoder"]}
+    name = args.encoder_name.replace("timm-", "")
+    enc_params, enc_stats = convert_encoder_state_dict(sd, name)
+    blob = {"params": enc_params, "batch_stats": enc_stats}
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     out_path = out_dir / f"{args.encoder_name}.vstpu"
     with open(out_path, "wb") as f:
         f.write(serialization.msgpack_serialize(blob))
-    n = sum(np.asarray(x).size for x in _leaves(params))
+    n = sum(np.asarray(x).size for x in _leaves(enc_params))
     print(f"Wrote {out_path} ({n} encoder parameters).")
 
 
