@@ -7,17 +7,18 @@ indexing — there is nothing for worker processes to do, and each batch is a
 single host->device transfer. Augmentation runs on device.
 """
 
-from pathlib import Path
 from types import SimpleNamespace
 from typing import Tuple
 
 import numpy as np
 
 import volume_segmantics_tpu.utils.base_data_utils as utils
+# get_2d_prediction_dataset / get_2d_validation_dataset are re-exported via
+# __all__ for API discoverability alongside the reference factory names.
 from volume_segmantics_tpu.data.datasets import (
-    get_2d_prediction_dataset,
+    get_2d_prediction_dataset,  # noqa: F401
     get_2d_training_dataset,
-    get_2d_validation_dataset,
+    get_2d_validation_dataset,  # noqa: F401
 )
 
 

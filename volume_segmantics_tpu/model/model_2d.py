@@ -8,7 +8,7 @@ functional-JAX equivalent of the reference's stateful torch nn.Module.
 """
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 

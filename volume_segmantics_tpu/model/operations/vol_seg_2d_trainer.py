@@ -21,7 +21,6 @@ TPU-first:
 import csv
 import logging
 import math
-import sys
 import time
 from pathlib import Path
 from types import SimpleNamespace
@@ -43,7 +42,6 @@ from volume_segmantics_tpu.data.dataloaders import get_2d_training_dataloaders
 from volume_segmantics_tpu.data.losses import get_loss_fn
 from volume_segmantics_tpu.data.metrics import get_eval_metric_fn
 from volume_segmantics_tpu.model.model_2d import ModelBundle, create_model_on_device
-from volume_segmantics_tpu.ops.augment import augment_batch
 from volume_segmantics_tpu.utils.early_stopping import EarlyStopping
 
 

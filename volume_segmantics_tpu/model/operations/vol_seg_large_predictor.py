@@ -14,7 +14,6 @@ device-memory cost.
 import logging
 import tempfile
 from pathlib import Path
-from types import SimpleNamespace
 from typing import Optional, Union
 
 import numpy as np

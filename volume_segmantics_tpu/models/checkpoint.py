@@ -14,7 +14,7 @@ on load when the torch CPU wheel is available.
 import logging
 import zipfile
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import numpy as np
 from flax import serialization

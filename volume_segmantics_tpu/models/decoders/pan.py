@@ -13,7 +13,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, resize_to, upsample
+from volume_segmantics_tpu.models.layers import ConvBnAct, resize_to
 
 
 class FPA(nn.Module):

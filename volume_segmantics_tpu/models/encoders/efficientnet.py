@@ -10,7 +10,7 @@ asymmetric padding like the torch ports need). Supports `output_stride`
 """
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,7 +12,7 @@ reference's named_parameters filter (reference
 model/operations/vol_seg_2d_trainer.py:102-116).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

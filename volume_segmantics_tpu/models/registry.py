@@ -7,12 +7,12 @@ conventions at the API boundary.
 """
 
 import logging
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, resize_to
+from volume_segmantics_tpu.models.layers import resize_to
 from volume_segmantics_tpu.utils.base_data_utils import ModelType
 
 # ---------------------------------------------------------------------------
