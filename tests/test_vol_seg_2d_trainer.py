@@ -81,3 +81,37 @@ def test_trainer_from_slicer_in_memory(fast_settings, tmp_path):
     model_out = tmp_path / "mem_model.pytorch"
     trainer.train_model(model_out, 1, 2, create=True, frozen=True)
     assert model_out.exists()
+
+
+@pytest.mark.slow
+def test_autosave_resume(image_dir, label_dir, fast_settings, tmp_path):
+    """Preemption tolerance: an interrupted multi-epoch run resumes from
+    the last completed epoch via the .autosave file."""
+    fast_settings.autosave = True
+    trainer = VolSeg2dTrainer(image_dir, label_dir, 4, fast_settings)
+    model_out = tmp_path / "model.pytorch"
+    autosave = tmp_path / "model.pytorch.autosave"
+
+    # Simulate an interruption after epoch 1 of a 3-epoch run: patch the
+    # epoch loop to raise after the autosave write.
+    calls = {"n": 0}
+    orig = trainer._write_autosave
+
+    def interrupting(*args, **kwargs):
+        orig(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt
+
+    trainer._write_autosave = interrupting
+    with pytest.raises(KeyboardInterrupt):
+        trainer.train_model(model_out, 3, 3, create=True, frozen=True)
+    assert autosave.exists()
+    assert len(trainer.avg_train_losses) == 1
+
+    # Fresh trainer resumes from epoch 2 (no LR finder rerun) and finishes.
+    trainer2 = VolSeg2dTrainer(image_dir, label_dir, 4, fast_settings)
+    trainer2.train_model(model_out, 3, 3, create=True, frozen=True)
+    assert len(trainer2.avg_train_losses) == 3  # 1 restored + 2 new
+    assert not autosave.exists()  # cleaned up on completion
+    assert model_out.exists()

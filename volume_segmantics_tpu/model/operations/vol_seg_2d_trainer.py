@@ -264,7 +264,25 @@ class VolSeg2dTrainer:
         rate (reference trainer :163-274)."""
         train_losses, valid_losses, eval_scores = [], [], []
 
-        if create:
+        # Preemption-tolerant resume (no reference equivalent): when
+        # `autosave: True` is set, each epoch writes <output>.autosave with
+        # full optimizer/epoch state; an interrupted run restarts from the
+        # last completed epoch instead of from scratch.
+        autosave = bool(getattr(self.settings, "autosave", False))
+        autosave_path = Path(f"{output_path}.autosave")
+        resume = self._try_resume(autosave_path, frozen) if autosave else None
+        if resume is not None:
+            lr_to_use = resume["lr_to_use"]
+            start_epoch = resume["epoch"] + 1
+            global_step = resume["global_step"]
+            early_stopping = self._create_early_stopping(
+                output_path, patience, best_score=resume["best_score"]
+            )
+            early_stopping.counter = resume["es_counter"]
+            logging.info(
+                f"Resuming training from autosave at epoch {start_epoch}."
+            )
+        elif create:
             self._create_model_and_optimiser(self.starting_lr, frozen=frozen)
             lr_to_use = self._run_lr_finder()
             self._create_model_and_optimiser(lr_to_use, frozen=frozen)
@@ -285,9 +303,10 @@ class VolSeg2dTrainer:
                 output_path, patience, best_score=-min_loss
             )
 
-        steps_per_epoch = max(len(self.training_loader), 1)
         lr_schedule = self._create_oc_lr_schedule(num_epochs, lr_to_use)
-        global_step = 0
+        if resume is None:
+            global_step = 0
+            start_epoch = 1
 
         # Optional XLA profiling of the first epoch (reference has only
         # per-epoch wall-clock logging, SURVEY.md §5; the TPU build adds a
@@ -296,7 +315,7 @@ class VolSeg2dTrainer:
         if profile_dir:
             jax.profiler.start_trace(str(profile_dir))
 
-        for epoch in range(1, num_epochs + 1):
+        for epoch in range(start_epoch, num_epochs + 1):
             tic = time.perf_counter()
             logging.info(f"Epoch {epoch} of {num_epochs}")
             for images, masks, _ in tqdm(
@@ -348,13 +367,81 @@ class VolSeg2dTrainer:
             early_stopping(
                 self.avg_valid_losses[-1], self, None, self.codes
             )
+            if autosave:
+                self._write_autosave(
+                    autosave_path,
+                    epoch=epoch,
+                    global_step=global_step,
+                    lr_to_use=lr_to_use,
+                    early_stopping=early_stopping,
+                    frozen=frozen,
+                )
             if early_stopping.early_stop:
                 logging.info("Early stopping")
                 break
 
         if profile_dir:
             jax.profiler.stop_trace()
+        if autosave and autosave_path.exists():
+            autosave_path.unlink()
         self._load_in_weights(output_path)
+
+    def _write_autosave(
+        self, autosave_path, epoch, global_step, lr_to_use, early_stopping, frozen
+    ):
+        from volume_segmantics_tpu.models.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            autosave_path,
+            model_state=self.bundle.variables,
+            model_struc_dict=self.model_struc_dict,
+            optimizer_state=self.opt_state,
+            loss_val=self.avg_valid_losses[-1],
+            label_codes=self.codes,
+            extra={
+                "epoch": int(epoch),
+                "global_step": int(global_step),
+                "lr_to_use": float(lr_to_use),
+                "best_score": float(early_stopping.best_score),
+                "es_counter": int(early_stopping.counter),
+                "frozen": bool(frozen),
+                "avg_train_losses": [float(x) for x in self.avg_train_losses],
+                "avg_valid_losses": [float(x) for x in self.avg_valid_losses],
+                "avg_eval_scores": [float(x) for x in self.avg_eval_scores],
+            },
+        )
+
+    def _try_resume(self, autosave_path, frozen):
+        """Load an epoch-level autosave if present; returns its `extra`
+        dict (with model/optimizer state restored) or None."""
+        if not autosave_path.exists():
+            return None
+        from flax import serialization
+
+        from volume_segmantics_tpu.models.checkpoint import load_checkpoint
+        from volume_segmantics_tpu.parallel.mesh import replicate
+
+        ckpt = load_checkpoint(autosave_path)
+        extra = ckpt.get("extra")
+        if not extra or bool(extra.get("frozen")) != bool(frozen):
+            return None
+        self._create_model_and_optimiser(extra["lr_to_use"], frozen=frozen)
+        self.bundle.variables = replicate(
+            serialization.from_state_dict(
+                self.bundle.variables, ckpt["model_state_dict"]
+            ),
+            self.mesh,
+        )
+        self.opt_state = replicate(
+            serialization.from_state_dict(
+                self.opt_state, ckpt["optimizer_state_dict"]
+            ),
+            self.mesh,
+        )
+        self.avg_train_losses = list(extra.get("avg_train_losses", []))
+        self.avg_valid_losses = list(extra.get("avg_valid_losses", []))
+        self.avg_eval_scores = list(extra.get("avg_eval_scores", []))
+        return extra
 
     def _shard(self, batch):
         from volume_segmantics_tpu.parallel.mesh import shard_batch

@@ -47,9 +47,11 @@ def save_checkpoint(
     optimizer_state: Any = None,
     loss_val: float = float("inf"),
     label_codes: Any = None,
+    extra: Any = None,
 ) -> None:
     """Write a single-file checkpoint. `model_state` is
-    {"params": ..., "batch_stats": ...} of numpy/jax arrays."""
+    {"params": ..., "batch_stats": ...} of numpy/jax arrays. `extra` carries
+    optional training-resume state (epoch counters etc.)."""
     import jax
 
     to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
@@ -64,6 +66,8 @@ def save_checkpoint(
         "loss_val": float(loss_val),
         "label_codes": label_codes if label_codes is not None else {},
     }
+    if extra is not None:
+        blob["extra"] = extra
     data = serialization.msgpack_serialize(blob)
     path = Path(path)
     with open(path, "wb") as f:
