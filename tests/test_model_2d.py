@@ -85,3 +85,9 @@ def test_checkpoint_round_trip(tmp_path):
     )
     k1 = np.asarray(restored["params"]["encoder"]["stem_conv"]["conv"]["kernel"])
     assert np.array_equal(k0, k1)
+
+
+def test_pan_rejects_resnest():
+    """Reference README.md:76: ResNeSt encoders incompatible with PAN."""
+    with pytest.raises(ValueError, match="not compatible with PAN"):
+        create_model_on_device(0, _struc(ModelType.PAN, "timm-resnest50d"))
