@@ -115,3 +115,39 @@ def test_autosave_resume(image_dir, label_dir, fast_settings, tmp_path):
     assert len(trainer2.avg_train_losses) == 3  # 1 restored + 2 new
     assert not autosave.exists()  # cleaned up on completion
     assert model_out.exists()
+
+
+class TestLrFinderMath:
+    """_find_lr_from_graph parity (reference trainer :347-383)."""
+
+    def test_min_gradient_pick(self):
+        import volume_segmantics_tpu.utils.config as cfg
+
+        lrs = [10 ** (-6 + i * 0.1) for i in range(60)]
+        # Loss falls fastest around index 40
+        losses = [1.0 - 0.5 * np.exp(-((i - 40) ** 2) / 20) for i in range(60)]
+        lr = VolSeg2dTrainer._find_lr_from_graph(losses, lrs)
+        grad_min_idx = int(np.argmin(np.gradient(np.array(losses))))
+        assert np.isclose(lr, lrs[grad_min_idx] / cfg.LR_DIVISOR)
+
+    def test_positive_gradient_falls_back(self):
+        import volume_segmantics_tpu.utils.config as cfg
+
+        losses = [0.1 * i for i in range(10)]  # strictly increasing
+        lrs = [1e-6 * (i + 1) for i in range(10)]
+        assert VolSeg2dTrainer._find_lr_from_graph(losses, lrs) == cfg.DEFAULT_MIN_LR
+
+
+def test_elastic_field_amplitude():
+    """The low-res elastic noise trick must preserve albumentations'
+    displacement magnitude: std(blur(U(-1,1), sigma)) ~ 0.577/(2*sigma*sqrt(pi))."""
+    import jax
+
+    from volume_segmantics_tpu.ops.augment import ELASTIC_SIGMA, _smooth_noise_field
+
+    fields = [
+        np.asarray(_smooth_noise_field(jax.random.PRNGKey(i), 256)) for i in range(8)
+    ]
+    measured = float(np.std(np.stack(fields)))
+    theory = (1 / np.sqrt(3)) / (2 * ELASTIC_SIGMA * np.sqrt(np.pi))
+    assert 0.5 * theory < measured < 2.0 * theory, (measured, theory)
