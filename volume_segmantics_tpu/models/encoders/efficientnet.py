@@ -50,7 +50,12 @@ class _BnAct(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
+            # timm uses 0.99 (torch 0.01), tuned for 100s-of-epoch ImageNet
+            # pretraining. In this toolkit's few-epoch fine-tuning regime
+            # running statistics must track quickly or eval-mode collapses
+            # when training from random init; 0.9 matches the other
+            # encoders and converged EfficientNet weights are unaffected.
+            momentum=0.9,
             epsilon=1e-3,
             dtype=jnp.float32,
             name="bn",
