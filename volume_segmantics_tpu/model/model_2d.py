@@ -28,6 +28,7 @@ class ModelBundle:
     variables: Dict[str, Any]
     model_struc_dict: dict
     label_codes: Any = None
+    pretrained_loaded: bool = False
 
     @property
     def params(self):
@@ -76,17 +77,21 @@ def create_model_on_device(
     module = create_model(model_struc_dict, dtype=dtype)
     in_channels = model_struc_dict.get("in_channels", 1)
     variables = init_model_variables(module, in_channels, rng)
+    pretrained_loaded = False
     if model_struc_dict.get("encoder_weights") == "imagenet":
         from volume_segmantics_tpu.models.pretrained import (
             load_pretrained_encoder,
         )
 
-        variables = load_pretrained_encoder(
+        variables, pretrained_loaded = load_pretrained_encoder(
             variables, model_struc_dict.get("encoder_name", "resnet34"), in_channels
         )
     logging.info(f"Model created (device group {device_num}).")
     return ModelBundle(
-        module=module, variables=variables, model_struc_dict=dict(model_struc_dict)
+        module=module,
+        variables=variables,
+        model_struc_dict=dict(model_struc_dict),
+        pretrained_loaded=pretrained_loaded,
     )
 
 

@@ -164,6 +164,14 @@ class VolSeg2dTrainer:
             f"Model has {n_trainable} trainable parameters, "
             f"{n_params} total parameters."
         )
+        if frozen and not self.bundle.pretrained_loaded:
+            logging.warning(
+                "Training with a FROZEN encoder that has RANDOM weights: the "
+                "frozen phase will learn poorly (especially for DeepLabV3/+ "
+                "and PAN). Provide pretrained encoder weights via "
+                "VOLSEG_TPU_WEIGHTS_DIR, or set num_cyc_frozen: 0 and train "
+                "unfrozen."
+            )
         self._tx = optax.chain(
             optax.scale_by_adam(),
             optax.add_decayed_weights(self._weight_decay),

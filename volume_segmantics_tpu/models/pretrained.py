@@ -69,7 +69,7 @@ def load_pretrained_encoder(
             f"${WEIGHTS_DIR_ENV}; using random initialisation. Convert torch "
             "weights with tools/convert_torch_encoder.py to enable them."
         )
-        return variables
+        return variables, False
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
     enc_params = blob["params"]
@@ -93,4 +93,4 @@ def load_pretrained_encoder(
             variables["batch_stats"]["encoder"], enc_stats
         )
     logging.info(f"Loaded pretrained '{encoder_name}' encoder weights from {path}.")
-    return merged
+    return merged, True
