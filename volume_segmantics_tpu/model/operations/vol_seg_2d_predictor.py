@@ -238,11 +238,14 @@ class VolSeg2dPredictor:
         fn = self._get_jitted("three_way", vol_dev.shape, self._three_way_trace)
         return fn(self.bundle.variables, vol_dev)
 
-    def _predict_3_ways_max_probs(self, data_vol):
+    def _predict_3_ways_max_probs(self, data_vol, output_probs=True):
         labels, probs = self._predict_3_ways_device(self._to_device_u8(data_vol))
-        return np.asarray(labels), np.asarray(probs)
+        # Max-probs are needed on device for merging, but the host transfer
+        # (float16, 2x the label bytes) is skipped when the caller won't
+        # save them.
+        return np.asarray(labels), (np.asarray(probs) if output_probs else None)
 
-    def _predict_12_ways_max_probs(self, data_vol):
+    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
         """3-way prediction at 4 in-plane rotations, merged pairwise in
         rotation order (reference predictor :100-116), device-resident."""
         vol_dev = self._to_device_u8(data_vol)
@@ -258,7 +261,7 @@ class VolSeg2dPredictor:
                 f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg volume."
             )
             labels, probs = self._merge_pair(labels, probs, labels_k, probs_k)
-        return np.asarray(labels), np.asarray(probs)
+        return np.asarray(labels), (np.asarray(probs) if output_probs else None)
 
     # ------------------------------------------------------------------
     # One-hot vote paths (reference predictor :118-136)

@@ -114,14 +114,14 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 prediction = self.predictor._predict_3_ways_one_hot(self.data_vol)
             else:
                 prediction, probs = self.predictor._predict_3_ways_max_probs(
-                    self.data_vol
+                    self.data_vol, output_probs=self.settings.output_probs
                 )
         if quality == utils.Quality.HIGH:
             if one_hot:
                 prediction = self.predictor._predict_12_ways_one_hot(self.data_vol)
             else:
                 prediction, probs = self.predictor._predict_12_ways_max_probs(
-                    self.data_vol
+                    self.data_vol, output_probs=self.settings.output_probs
                 )
         if output_path is not None:
             utils.save_data_to_hdf5(
