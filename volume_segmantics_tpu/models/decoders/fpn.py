@@ -91,5 +91,8 @@ class FPNDecoder(nn.Module):
                 name=f"seg_p{5 - i}",
             )(p)
             out = s if out is None else out + s
-        out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        # smp uses Dropout2d: whole feature maps are dropped together.
+        out = nn.Dropout(
+            rate=self.dropout, broadcast_dims=(1, 2), deterministic=not train
+        )(out)
         return out

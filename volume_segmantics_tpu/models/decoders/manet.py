@@ -26,6 +26,10 @@ class PAB(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Faithful to smp's PAB forward, including its quirks: the softmax
+        # is GLOBAL over all hw*hw attention logits (torch view(b, -1)
+        # before Softmax(dim=1)), and the (N, HW, C) attention output is
+        # reinterpreted row-major as (N, C, H, W) rather than transposed.
         n, h, w, c = x.shape
         top = nn.Conv(self.pab_channels, (1, 1), dtype=self.dtype, name="conv_top")(x)
         center = nn.Conv(
@@ -34,19 +38,24 @@ class PAB(nn.Module):
         bottom = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
                          feature_group_count=1, dtype=self.dtype,
                          name="conv_bottom")(x)
-        t = top.reshape(n, h * w, self.pab_channels)
-        cen = center.reshape(n, h * w, self.pab_channels)
+        hw = h * w
+        t = top.reshape(n, hw, self.pab_channels)
+        cen = center.reshape(n, hw, self.pab_channels)
+        # att[p, q] = center[p] . top[q]  (torch: matmul(center, top))
         att = jnp.einsum(
-            "npc,nqc->npq", t.astype(jnp.float32), cen.astype(jnp.float32)
+            "npc,nqc->npq", cen.astype(jnp.float32), t.astype(jnp.float32)
         )
-        att = nn.softmax(att, axis=-1)
-        b = bottom.reshape(n, h * w, self.features).astype(jnp.float32)
-        out = jnp.einsum("npq,nqc->npc", att, b).reshape(n, h, w, self.features)
+        att = nn.softmax(att.reshape(n, hw * hw), axis=-1).reshape(n, hw, hw)
+        b = bottom.reshape(n, hw, self.features).astype(jnp.float32)
+        out = jnp.einsum("npq,nqc->npc", att, b)
+        # torch reshape(b, c, h, w) of a (b, hw, c) tensor: row-major
+        # reinterpretation, then back to NHWC.
+        out = out.reshape(n, c, h, w).transpose(0, 2, 3, 1)
         out = out.astype(x.dtype)
         final = nn.Conv(
             self.features, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             name="conv_map",
-        )(out + x)
+        )(x + out)
         return final
 
 

@@ -1,11 +1,19 @@
 """PAN (Pyramid Attention Network) decoder in Flax, NHWC.
 
-Structure matches smp.PAN as dispatched by the reference
-(reference model/model_2d.py:36-38): a Feature Pyramid Attention (FPA)
-module on the deepest (dilated, stride-16) feature, followed by three
-Global Attention Upsample (GAU) blocks against C3/C2/C1. Decoder channels
-32, head upsamples x4. The reference documents that ResNeSt encoders are
-incompatible with PAN (reference README.md:76) — the factory enforces this.
+Structurally exact re-implementation of smp.PAN's decoder as dispatched by
+the reference (reference model/model_2d.py:36-38), so reference checkpoints
+convert leaf-for-leaf:
+
+- FPA on the deepest (dilated, stride-16) feature: a global-pool branch, a
+  1x1 mid branch, and a 7x7/5x5/3x3 max-pool pyramid of single-channel
+  attention convs, combined ``mid * attention + global``.
+- Three GAU blocks against C4/C3/C2 (decoder_channels=32 everywhere).
+- All convs follow smp PAN's ConvBnRelu: conv WITH bias + BatchNorm
+  (+ ReLU unless ``add_relu=False``); interpolation is bilinear with
+  torch's ``align_corners=True`` mapping.
+
+The reference documents that ResNeSt encoders are incompatible with PAN
+(reference README.md:76) — the factory enforces this.
 """
 
 from typing import Any
@@ -13,12 +21,29 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, resize_to
+from volume_segmantics_tpu.models.layers import ConvBnAct, resize_align_corners
+
+
+def _cbr(features, kernel, name, add_relu=True, dtype=jnp.float32):
+    """smp PAN ConvBnRelu: conv (bias=True) + BN (+ ReLU)."""
+    k = (kernel, kernel)
+    return ConvBnAct(
+        features, k, act=nn.relu if add_relu else None, use_bias=True,
+        dtype=dtype, name=name,
+    )
+
+
+def _pool2(x):
+    # smp uses MaxPool2d(2, 2); degrade to identity once a spatial dim is
+    # too small to pool (torch would produce an empty tensor and crash —
+    # identical numerics for all real input sizes, >=128 px at stride 16).
+    if x.shape[1] < 2 or x.shape[2] < 2:
+        return x
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
 class FPA(nn.Module):
-    """Feature Pyramid Attention: global pooling branch + mid 1x1 branch
-    modulated by a 7x7/5x5/3x3 downsampling pyramid."""
+    """Feature Pyramid Attention (smp PAN FPABlock)."""
 
     features: int
     dtype: Any = jnp.float32
@@ -26,63 +51,51 @@ class FPA(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
-        mid = self.features
+        mid_ch = self.features
 
-        # Global branch
+        # Global pooling branch: pool -> 1x1 ConvBnRelu -> upsample to (h, w)
         glob = jnp.mean(x, axis=(1, 2), keepdims=True)
-        glob = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
-                       name="conv_global")(glob)
-        glob = jnp.broadcast_to(glob, (n, h, w, mid))
+        glob = _cbr(mid_ch, 1, "branch1", dtype=self.dtype)(glob, train)
+        glob = jnp.broadcast_to(glob, (n, h, w, mid_ch))
 
-        # Mid branch
-        midb = ConvBnAct(
-            mid, (1, 1), padding=[(0, 0), (0, 0)], act=None, dtype=self.dtype,
-            name="convbn_mid",
-        )(x, train)
+        # Mid branch: 1x1 ConvBnRelu
+        midb = _cbr(mid_ch, 1, "mid", dtype=self.dtype)(x, train)
 
-        # Pyramid branch: successive stride-2 convs with 7/5/3 kernels
-        d1 = ConvBnAct(1, (7, 7), strides=(2, 2), dtype=self.dtype,
-                       name="convbn_d1")(x, train)
-        d2 = ConvBnAct(1, (5, 5), strides=(2, 2), dtype=self.dtype,
-                       name="convbn_d2")(d1, train)
-        d3 = ConvBnAct(1, (3, 3), strides=(2, 2), dtype=self.dtype,
-                       name="convbn_d3")(d2, train)
-        d3 = ConvBnAct(1, (3, 3), dtype=self.dtype, name="convbn_d3b")(d3, train)
-        d3_up = resize_to(d3, d2.shape[1], d2.shape[2], "bilinear")
-        d2 = ConvBnAct(1, (5, 5), dtype=self.dtype, name="convbn_d2b")(d2, train)
-        d2 = d2 + d3_up
-        d2_up = resize_to(d2, d1.shape[1], d1.shape[2], "bilinear")
-        d1 = ConvBnAct(1, (7, 7), dtype=self.dtype, name="convbn_d1b")(d1, train)
-        d1 = d1 + d2_up
-        att = resize_to(d1, h, w, "bilinear")
+        # Attention pyramid: maxpool-2 downsampling, 7/5/3 kernels, 1 channel
+        x1 = _cbr(1, 7, "down1", dtype=self.dtype)(_pool2(x), train)
+        x2 = _cbr(1, 5, "down2", dtype=self.dtype)(_pool2(x1), train)
+        x3 = _cbr(1, 3, "down3a", dtype=self.dtype)(_pool2(x2), train)
+        x3 = _cbr(1, 3, "down3b", dtype=self.dtype)(x3, train)
 
-        out = midb * att + glob.astype(midb.dtype)
-        return out
+        x3 = resize_align_corners(x3, max(h // 4, 1), max(w // 4, 1))
+        x2 = _cbr(1, 5, "conv2", dtype=self.dtype)(x2, train)
+        att = x2 + x3
+        att = resize_align_corners(att, max(h // 2, 1), max(w // 2, 1))
+        x1 = _cbr(1, 7, "conv1", dtype=self.dtype)(x1, train)
+        att = att + x1
+        att = resize_align_corners(att, h, w)
+
+        return midb * att + glob.astype(midb.dtype)
 
 
 class GAU(nn.Module):
-    """Global Attention Upsample: low-level features gated by global context
-    of the high-level features, added to the upsampled high-level path."""
+    """Global Attention Upsample (smp PAN GAUBlock): low-level features
+    gated by global context of the high-level features, added to the
+    align-corners-upsampled high-level path."""
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_low, y_high, train: bool = False):
-        y_up = resize_to(y_high, x_low.shape[1], x_low.shape[2], "bilinear")
-        x = ConvBnAct(self.features, (3, 3), dtype=self.dtype, name="convbn_low")(
-            x_low, train
-        )
+        y_up = resize_align_corners(y_high, x_low.shape[1], x_low.shape[2])
+        x = _cbr(self.features, 3, "conv2", dtype=self.dtype)(x_low, train)
         g = jnp.mean(y_high, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv_gate")(g)
-        g = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn_gate",
-        )(g)
+        g = _cbr(self.features, 1, "conv1", add_relu=False, dtype=self.dtype)(
+            g, train
+        )
         g = nn.sigmoid(g).astype(x.dtype)
-        z = x * g
-        return y_up + z
+        return y_up + x * g
 
 
 class PANDecoder(nn.Module):

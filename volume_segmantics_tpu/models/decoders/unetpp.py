@@ -1,10 +1,17 @@
 """U-Net++ decoder (nested dense skip connections) in Flax, NHWC.
 
-Structure matches smp.UnetPlusPlus as dispatched by the reference
-(reference model/model_2d.py:18-20): a dense grid of decoder blocks where
-node X(i, j) consumes the upsampled X(i+1, j-1) concatenated with all
-same-depth predecessors X(i, 0..j-1) plus the encoder skip.
-Decoder channels (256, 128, 64, 32, 16).
+Structurally exact re-implementation of the decoder smp.UnetPlusPlus builds
+as dispatched by the reference (reference model/model_2d.py:18-20), so that
+reference ``.pytorch`` checkpoints convert leaf-for-leaf:
+
+- Nodes are named ``x_{a}_{b}`` exactly as in smp's ``dense_x`` grid, where
+  ``b`` is the dense level (output resolution of encoder skip ``b+1`` in
+  deep-to-shallow order) and ``b - a`` is the column.
+- Output widths follow smp's plan: ``a == 0`` nodes emit
+  ``decoder_channels[b]``; interior nodes (``a > 0``) keep the *encoder
+  skip width* of their level.
+- Skip concatenation order is smp's: previously computed same-level nodes
+  newest-first, then the raw encoder skip last.
 """
 
 from typing import Any, Sequence
@@ -37,27 +44,25 @@ class UnetPlusPlusDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, features, train: bool = False):
-        # Encoder pyramid: [C0, C1(s2), C2(s4), C3(s8), C4(s16), C5(s32)].
-        # Grid nodes X[depth][col]; depth d sits at stride 2^(d+1) with
-        # X[d][0] = C(d+1). Column j of depth d upsamples X[d+1][j-1] and
-        # concatenates X[d][0..j-1].
-        enc = features[1:]  # [C1..C5], depths 0..4
-        n = len(enc) - 1  # 4 columns of computation
-        grid = {(d, 0): enc[d] for d in range(len(enc))}
-        # smp dense_x ordering: for each layer_idx (column-ish), blocks run
-        # from deep to shallow; channels follow decoder_channels by depth.
-        for j in range(1, n + 1):
-            for d in range(n - j, -1, -1):
-                # Depth d node emits decoder_channels[(n-1) - d] features
-                # (same per-depth widths as the plain U-Net decoder).
-                ch = self.decoder_channels[(n - 1) - d]
-                skips = [grid[(d, k)] for k in range(j)]
-                grid[(d, j)] = UnetPPBlock(
-                    ch, dtype=self.dtype, name=f"block_{d}_{j}"
-                )(grid[(d + 1, j - 1)], skips, train)
-        # Final full-resolution block: upsample X[0][n] with no skips
-        # (reaches stride 1), mirroring the last Unet block.
-        out = UnetPPBlock(
-            self.decoder_channels[-1], dtype=self.dtype, name="block_final"
-        )(grid[(0, n)], [], train)
-        return out
+        # Deep-to-shallow skip list: feats[0] = deepest encoder output.
+        feats = list(features[1:][::-1])
+        depth = len(feats) - 1  # 4 dense levels of computation
+        skip_ch = [f.shape[-1] for f in feats[1:]] + [0]
+        dense = {}
+        for layer in range(depth):
+            for a in range(depth - layer):
+                b = a + layer
+                out_ch = self.decoder_channels[b] if a == 0 else skip_ch[b]
+                if layer == 0:
+                    x_in, skips = feats[a], [feats[a + 1]]
+                else:
+                    x_in = dense[(a, b - 1)]
+                    skips = [dense[(i, b)] for i in range(a + 1, b + 1)]
+                    skips.append(feats[b + 1])
+                dense[(a, b)] = UnetPPBlock(
+                    out_ch, dtype=self.dtype, name=f"x_{a}_{b}"
+                )(x_in, skips, train)
+        # Final full-resolution node: upsample to stride 1, no skips.
+        return UnetPPBlock(
+            self.decoder_channels[-1], dtype=self.dtype, name=f"x_0_{depth}"
+        )(dense[(0, depth - 1)], [], train)

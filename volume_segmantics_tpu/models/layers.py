@@ -31,6 +31,7 @@ class ConvBnAct(nn.Module):
     groups: int = 1
     act: Optional[Callable] = nn.relu
     use_norm: bool = True
+    use_bias: Optional[bool] = None  # None -> bias iff no norm (torch Conv2dReLU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,6 +43,7 @@ class ConvBnAct(nn.Module):
             ph = ((kh - 1) * dh) // 2
             pw = ((kw - 1) * dw) // 2
             padding = [(ph, ph), (pw, pw)]
+        use_bias = self.use_bias if self.use_bias is not None else not self.use_norm
         x = nn.Conv(
             self.features,
             self.kernel_size,
@@ -49,7 +51,7 @@ class ConvBnAct(nn.Module):
             padding=padding,
             kernel_dilation=self.dilation,
             feature_group_count=self.groups,
-            use_bias=not self.use_norm,
+            use_bias=use_bias,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -83,6 +85,35 @@ def resize_to(x: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear") 
 
     n, _, _, c = x.shape
     return jax.image.resize(x, (n, out_h, out_w, c), method=method).astype(x.dtype)
+
+
+def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True coordinate mapping
+    (source position = i * (in-1)/(out-1)), NHWC. PAN's interpolations use
+    this convention (smp PAN blocks pass align_corners=True), which
+    jax.image.resize's half-pixel mapping does not reproduce."""
+
+    def _axis(arr, in_len, out_len, axis):
+        if in_len == out_len:
+            return arr
+        if in_len == 1:
+            reps = [1] * arr.ndim
+            reps[axis] = out_len
+            return jnp.tile(arr, reps)
+        src = jnp.arange(out_len, dtype=jnp.float32) * (in_len - 1) / (out_len - 1)
+        i0 = jnp.floor(src).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, in_len - 2)
+        frac = (src - i0).astype(arr.dtype)
+        a = jnp.take(arr, i0, axis=axis)
+        b = jnp.take(arr, i0 + 1, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = out_len
+        frac = frac.reshape(shape)
+        return a * (1 - frac) + b * frac
+
+    x = _axis(x, x.shape[1], out_h, 1)
+    x = _axis(x, x.shape[2], out_w, 2)
+    return x
 
 
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding=((1, 1), (1, 1))):

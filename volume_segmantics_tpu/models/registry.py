@@ -151,6 +151,7 @@ def _build_fpn(encoder, enc_channels, classes, dtype):
         decoder=FPNDecoder(dtype=dtype),
         classes=classes,
         head_upsampling=4,
+        head_kernel=1,
         dtype=dtype,
     )
 
@@ -163,6 +164,7 @@ def _build_deeplabv3(encoder, enc_channels, classes, dtype):
         decoder=DeepLabV3Decoder(dtype=dtype),
         classes=classes,
         head_upsampling=8,
+        head_kernel=1,
         dtype=dtype,
     )
 
@@ -175,6 +177,7 @@ def _build_deeplabv3plus(encoder, enc_channels, classes, dtype):
         decoder=DeepLabV3PlusDecoder(dtype=dtype),
         classes=classes,
         head_upsampling=4,
+        head_kernel=1,
         dtype=dtype,
     )
 
@@ -197,6 +200,7 @@ def _build_linknet(encoder, enc_channels, classes, dtype):
         encoder=encoder,
         decoder=LinknetDecoder(dtype=dtype),
         classes=classes,
+        head_kernel=1,
         dtype=dtype,
     )
 

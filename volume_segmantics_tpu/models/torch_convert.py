@@ -4,9 +4,9 @@ The reference's checkpoint is a torch-pickled dict (reference
 utilities/early_stopping.py:50-63). This module unpickles it (tolerating the
 reference package's enum classes via stub modules) and converts the
 segmentation_models_pytorch state_dict to this framework's Flax parameter
-tree. Round-1 coverage: ResNet-family encoders + U-Net decoder; other
-architectures load structure/label codes with an informative error for
-weights.
+tree. Coverage: all 8 reference architectures (reference
+model/model_2d.py:15-38) x the resnet/efficientnet/resnest encoder
+families — any reference ``.pytorch`` file is drop-in loadable.
 """
 
 import logging
@@ -134,6 +134,203 @@ def _convert_head(torch_sd, params):
         _set(params, ("head_conv", "kernel"),
              _conv_kernel(torch_sd["segmentation_head.0.weight"]))
         _set(params, ("head_conv", "bias"), torch_sd["segmentation_head.0.bias"])
+
+
+def _convT_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kH, kW) -> flax ConvTranspose
+    kernel (kH, kW, I, O). flax's ConvTranspose applies the kernel without
+    spatial flipping (transpose_kernel=False), so the torch kernel must be
+    flipped; numerically verified against torch (k=4, s=2, p=1 == SAME)."""
+    return np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(0, 1))
+
+
+def _conv_only(params, torch_sd, t_conv, f_path, bias="auto"):
+    """Map a bare torch conv onto an nn.Conv at f_path."""
+    _set(params, f_path + ("kernel",), _conv_kernel(torch_sd[f"{t_conv}.weight"]))
+    if bias == "auto":
+        bias = f"{t_conv}.bias" in torch_sd
+    if bias:
+        _set(params, f_path + ("bias",), torch_sd[f"{t_conv}.bias"])
+
+
+def _groupnorm(params, torch_sd, t_gn, f_path):
+    _set(params, f_path + ("scale",), torch_sd[f"{t_gn}.weight"])
+    _set(params, f_path + ("bias",), torch_sd[f"{t_gn}.bias"])
+
+
+def _convert_unetpp_decoder(torch_sd, params, stats):
+    """smp UnetPlusPlusDecoder (decoder.blocks.x_{a}_{b}.conv{1,2}.{0,1}) ->
+    our UnetPlusPlusDecoder, which uses the same x_{a}_{b} node names."""
+    nodes = sorted(
+        {k.split(".")[2] for k in torch_sd if k.startswith("decoder.blocks.x_")}
+    )
+    for node in nodes:
+        t = f"decoder.blocks.{node}"
+        f = ("decoder", node)
+        _convbn(params, stats, torch_sd, f"{t}.conv1.0", f"{t}.conv1.1",
+                f + ("convbn1",))
+        _convbn(params, stats, torch_sd, f"{t}.conv2.0", f"{t}.conv2.1",
+                f + ("convbn2",))
+
+
+def _convert_fpn_decoder(torch_sd, params, stats):
+    """smp FPNDecoder -> our FPNDecoder. GroupNorm affine params live in
+    'params' (no running stats)."""
+    _conv_only(params, torch_sd, "decoder.p5", ("decoder", "conv_p5"))
+    for lvl in (4, 3, 2):
+        _conv_only(params, torch_sd, f"decoder.p{lvl}.skip_conv",
+                   ("decoder", f"fpn_p{lvl}", "conv_lateral"))
+    # seg_blocks order [p5, p4, p3, p2] with n_upsamples [3, 2, 1, 0]
+    for i, lvl in enumerate((5, 4, 3, 2)):
+        j = 0
+        while f"decoder.seg_blocks.{i}.block.{j}.block.0.weight" in torch_sd:
+            t = f"decoder.seg_blocks.{i}.block.{j}.block"
+            f = ("decoder", f"seg_p{lvl}", f"convgn{j}")
+            _conv_only(params, torch_sd, f"{t}.0", f + ("conv",), bias=False)
+            _groupnorm(params, torch_sd, f"{t}.1", f + ("gn",))
+            j += 1
+
+
+def _aspp_rates(torch_sd, prefix):
+    """The reference builds smp decoders with default atrous rates; recover
+    them from our module naming convention (12/24/36)."""
+    return (12, 24, 36)
+
+
+def _convert_aspp(torch_sd, params, stats, t_prefix, f_prefix, separable):
+    """smp/torchvision ASPP: convs.0 = 1x1, convs.1-3 = rate branches,
+    convs.4 = image pooling, project."""
+    _convbn(params, stats, torch_sd, f"{t_prefix}.convs.0.0",
+            f"{t_prefix}.convs.0.1", f_prefix + ("convbn_1x1",))
+    for i, rate in enumerate(_aspp_rates(torch_sd, t_prefix), start=1):
+        t = f"{t_prefix}.convs.{i}"
+        if separable:
+            f = f_prefix + (f"sepconv_r{rate}",)
+            _conv_only(params, torch_sd, f"{t}.0.0", f + ("conv_depthwise",),
+                       bias=False)
+            _conv_only(params, torch_sd, f"{t}.0.1", f + ("conv_pointwise",),
+                       bias=False)
+            _set(params, f + ("bn", "scale"), torch_sd[f"{t}.1.weight"])
+            _set(params, f + ("bn", "bias"), torch_sd[f"{t}.1.bias"])
+            _set(stats, f + ("bn", "mean"), torch_sd[f"{t}.1.running_mean"])
+            _set(stats, f + ("bn", "var"), torch_sd[f"{t}.1.running_var"])
+        else:
+            _convbn(params, stats, torch_sd, f"{t}.0", f"{t}.1",
+                    f_prefix + (f"convbn_r{rate}",))
+    # Image pooling branch: Sequential(pool, conv, bn, relu)
+    _convbn(params, stats, torch_sd, f"{t_prefix}.convs.4.1",
+            f"{t_prefix}.convs.4.2", f_prefix + ("convbn_pool",))
+    _convbn(params, stats, torch_sd, f"{t_prefix}.project.0",
+            f"{t_prefix}.project.1", f_prefix + ("convbn_project",))
+
+
+def _convert_deeplabv3_decoder(torch_sd, params, stats):
+    """smp DeepLabV3Decoder (nn.Sequential: 0=ASPP, 1=conv3x3, 2=bn)."""
+    _convert_aspp(torch_sd, params, stats, "decoder.0", ("decoder", "aspp"),
+                  separable=False)
+    _convbn(params, stats, torch_sd, "decoder.1", "decoder.2",
+            ("decoder", "convbn_out"))
+
+
+def _sep_convbn(torch_sd, params, stats, t_sep, t_bn, f_path):
+    """smp SeparableConv2d (Sequential dw, pw) + following BatchNorm."""
+    _conv_only(params, torch_sd, f"{t_sep}.0", f_path + ("conv_depthwise",),
+               bias=False)
+    _conv_only(params, torch_sd, f"{t_sep}.1", f_path + ("conv_pointwise",),
+               bias=False)
+    _set(params, f_path + ("bn", "scale"), torch_sd[f"{t_bn}.weight"])
+    _set(params, f_path + ("bn", "bias"), torch_sd[f"{t_bn}.bias"])
+    _set(stats, f_path + ("bn", "mean"), torch_sd[f"{t_bn}.running_mean"])
+    _set(stats, f_path + ("bn", "var"), torch_sd[f"{t_bn}.running_var"])
+
+
+def _convert_deeplabv3plus_decoder(torch_sd, params, stats):
+    """smp DeepLabV3PlusDecoder: aspp = Sequential(ASPP(separable),
+    SeparableConv2d, BN, ReLU); block1 = highres 1x1; block2 = separable
+    fuse."""
+    _convert_aspp(torch_sd, params, stats, "decoder.aspp.0",
+                  ("decoder", "aspp"), separable=True)
+    _sep_convbn(torch_sd, params, stats, "decoder.aspp.1", "decoder.aspp.2",
+                ("decoder", "sepconv_aspp"))
+    _convbn(params, stats, torch_sd, "decoder.block1.0", "decoder.block1.1",
+            ("decoder", "convbn_highres"))
+    _sep_convbn(torch_sd, params, stats, "decoder.block2.0", "decoder.block2.1",
+                ("decoder", "sepconv_fuse"))
+
+
+def _convert_manet_decoder(torch_sd, params, stats):
+    """smp MAnetDecoder: center PAB + 4 MFAB blocks + 1 plain block."""
+    pab_map = (("top_conv", "conv_top"), ("center_conv", "conv_center"),
+               ("bottom_conv", "conv_bottom"), ("out_conv", "conv_map"))
+    for t_name, f_name in pab_map:
+        _conv_only(params, torch_sd, f"decoder.center.{t_name}",
+                   ("decoder", "pab", f_name))
+    i = 0
+    while f"decoder.blocks.{i}.conv1.0.weight" in torch_sd:
+        t = f"decoder.blocks.{i}"
+        if f"{t}.hl_conv.0.0.weight" in torch_sd:  # MFAB
+            f = ("decoder", f"mfab{i}")
+            _convbn(params, stats, torch_sd, f"{t}.hl_conv.0.0",
+                    f"{t}.hl_conv.0.1", f + ("convbn_hl1",))
+            _convbn(params, stats, torch_sd, f"{t}.hl_conv.1.0",
+                    f"{t}.hl_conv.1.1", f + ("convbn_hl2",))
+            for t_se, f_se in (("SE_hl", "se_hl"), ("SE_ll", "se_ll")):
+                _conv_only(params, torch_sd, f"{t}.{t_se}.1",
+                           f + (f_se, "conv_squeeze"))
+                _conv_only(params, torch_sd, f"{t}.{t_se}.3",
+                           f + (f_se, "conv_excite"))
+        else:  # plain DecoderBlock
+            f = ("decoder", f"block{i}")
+        _convbn(params, stats, torch_sd, f"{t}.conv1.0", f"{t}.conv1.1",
+                f + ("convbn1",))
+        _convbn(params, stats, torch_sd, f"{t}.conv2.0", f"{t}.conv2.1",
+                f + ("convbn2",))
+        i += 1
+
+
+def _convert_linknet_decoder(torch_sd, params, stats):
+    """smp LinknetDecoder: blocks of (1x1 ConvBnRelu, TransposeX2,
+    1x1 ConvBnRelu)."""
+    i = 0
+    while f"decoder.blocks.{i}.block.0.0.weight" in torch_sd:
+        t = f"decoder.blocks.{i}.block"
+        f = ("decoder", f"block{i}")
+        _convbn(params, stats, torch_sd, f"{t}.0.0", f"{t}.0.1",
+                f + ("convbn1",))
+        _set(params, f + ("transpose", "convT", "kernel"),
+             _convT_kernel(torch_sd[f"{t}.1.0.weight"]))
+        _set(params, f + ("transpose", "bn", "scale"), torch_sd[f"{t}.1.1.weight"])
+        _set(params, f + ("transpose", "bn", "bias"), torch_sd[f"{t}.1.1.bias"])
+        _set(stats, f + ("transpose", "bn", "mean"),
+             torch_sd[f"{t}.1.1.running_mean"])
+        _set(stats, f + ("transpose", "bn", "var"),
+             torch_sd[f"{t}.1.1.running_var"])
+        _convbn(params, stats, torch_sd, f"{t}.2.0", f"{t}.2.1",
+                f + ("convbn2",))
+        i += 1
+
+
+def _convert_pan_decoder(torch_sd, params, stats):
+    """smp PANDecoder: FPA + 3 GAU blocks; every ConvBnRelu keeps its
+    conv bias (smp PAN passes bias=True)."""
+
+    def cbr(t_prefix, f_path):
+        _conv_only(params, torch_sd, f"{t_prefix}.conv", f_path + ("conv",))
+        _set(params, f_path + ("bn", "scale"), torch_sd[f"{t_prefix}.bn.weight"])
+        _set(params, f_path + ("bn", "bias"), torch_sd[f"{t_prefix}.bn.bias"])
+        _set(stats, f_path + ("bn", "mean"),
+             torch_sd[f"{t_prefix}.bn.running_mean"])
+        _set(stats, f_path + ("bn", "var"),
+             torch_sd[f"{t_prefix}.bn.running_var"])
+
+    fpa_map = (("branch1.1", "branch1"), ("mid.0", "mid"), ("down1.1", "down1"),
+               ("down2.1", "down2"), ("down3.1", "down3a"),
+               ("down3.2", "down3b"), ("conv2", "conv2"), ("conv1", "conv1"))
+    for t_name, f_name in fpa_map:
+        cbr(f"decoder.fpa.{t_name}", ("decoder", "fpa", f_name))
+    for k in (3, 2, 1):
+        cbr(f"decoder.gau{k}.conv1.1", ("decoder", f"gau{k}", "conv1"))
+        cbr(f"decoder.gau{k}.conv2", ("decoder", f"gau{k}", "conv2"))
 
 
 def _convert_efficientnet_encoder(torch_sd, params, stats, prefix="encoder"):
@@ -265,30 +462,53 @@ def convert_encoder_state_dict(torch_sd: Dict[str, np.ndarray], encoder_name: st
     return params["encoder"], stats["encoder"]
 
 
+DECODER_CONVERTERS = {
+    ModelType.U_NET: _convert_unet_decoder,
+    ModelType.U_NET_PLUS_PLUS: _convert_unetpp_decoder,
+    ModelType.FPN: _convert_fpn_decoder,
+    ModelType.DEEPLABV3: _convert_deeplabv3_decoder,
+    ModelType.DEEPLABV3_PLUS: _convert_deeplabv3plus_decoder,
+    ModelType.MA_NET: _convert_manet_decoder,
+    ModelType.LINKNET: _convert_linknet_decoder,
+    ModelType.PAN: _convert_pan_decoder,
+}
+
+
 def convert_smp_state_dict(torch_sd: Dict[str, np.ndarray], struc: dict):
     """Convert an smp model state_dict to {"params", "batch_stats"}.
 
-    Supported: ResNet-family encoders (resnet34/50, resnext50_32x4d) with the
-    U-Net decoder. Other combinations raise with guidance.
+    Covers every architecture the reference can save (reference
+    model/model_2d.py:15-38): all 8 smp decoders plus the resnet/
+    efficientnet/resnest encoder families. The reference rebuilds any saved
+    arch from its checkpoint (reference model/model_2d.py:42-57); this is
+    the equivalent drop-in path for ``.pytorch`` files.
     """
     encoder_name = struc.get("encoder_name", "")
     model_type = struc.get("type")
     supported_enc = encoder_name.startswith(("resnet", "resnext")) or any(
         k in encoder_name for k in ("efficientnet", "resnest")
     )
-    supported_arch = model_type == ModelType.U_NET
-    if not (supported_enc and supported_arch):
+    if not supported_enc:
         raise NotImplementedError(
-            f"Torch weight conversion for {model_type} + {encoder_name} is not "
-            "implemented yet; re-train natively or convert the encoder with "
-            "tools/convert_torch_encoder.py."
+            f"Torch weight conversion for encoder '{encoder_name}' is not "
+            "implemented; supported families: resnet/resnext, efficientnet, "
+            "resnest."
+        )
+    decoder_fn = DECODER_CONVERTERS.get(model_type)
+    if decoder_fn is None:
+        raise NotImplementedError(
+            f"Torch weight conversion for architecture {model_type} is not "
+            "implemented."
         )
     params: dict = {}
     stats: dict = {}
     enc_params, enc_stats = convert_encoder_state_dict(torch_sd, encoder_name)
     params["encoder"] = enc_params
     stats["encoder"] = enc_stats
-    _convert_unet_decoder(torch_sd, params, stats)
+    decoder_fn(torch_sd, params, stats)
     _convert_head(torch_sd, params)
-    logging.info("Converted torch state_dict to flax parameter tree.")
+    logging.info(
+        f"Converted torch state_dict ({model_type}, {encoder_name}) to a "
+        "flax parameter tree."
+    )
     return {"params": params, "batch_stats": stats}
