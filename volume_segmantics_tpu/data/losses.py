@@ -23,16 +23,29 @@ def flatten(tensor: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(tensor, axis_order).reshape(c, -1)
 
 
+def _apply_sample_weights(input, target, sample_weights):
+    """Zero padded samples in both tensors; with 0/1 weights every sum-based
+    reduction then matches the pad-free computation exactly."""
+    if sample_weights is None:
+        return input, target
+    w = sample_weights.astype(input.dtype).reshape(
+        (-1,) + (1,) * (input.ndim - 1)
+    )
+    return input * w, target * w
+
+
 def compute_per_channel_dice(
     input: jnp.ndarray,
     target: jnp.ndarray,
     epsilon: float = 1e-6,
     weight=None,
+    sample_weights=None,
 ) -> jnp.ndarray:
     """Per-channel Dice with the V-Net squared denominator
     (reference pytorch3dunet_losses.py:15-41). `input` must already be a
-    probability map."""
+    probability map. `sample_weights` (N,) masks padded batch entries."""
     assert input.shape == target.shape, "'input' and 'target' must have the same shape"
+    input, target = _apply_sample_weights(input, target, sample_weights)
     input = flatten(input)
     target = flatten(target).astype(input.dtype)
     intersect = (input * target).sum(-1)
@@ -55,12 +68,15 @@ def dice_loss(
     target: jnp.ndarray,
     weight=None,
     normalization: str = "sigmoid",
+    sample_weights=None,
 ) -> jnp.ndarray:
     """DiceLoss (reference pytorch3dunet_losses.py:125-135): 1 - mean
     per-channel Dice of the normalized logits."""
     assert normalization in ("sigmoid", "softmax", "none")
     probs = _normalize(input, normalization)
-    per_channel = compute_per_channel_dice(probs, target, weight=weight)
+    per_channel = compute_per_channel_dice(
+        probs, target, weight=weight, sample_weights=sample_weights
+    )
     return 1.0 - jnp.mean(per_channel)
 
 
@@ -69,11 +85,13 @@ def generalized_dice_loss(
     target: jnp.ndarray,
     normalization: str = "sigmoid",
     epsilon: float = 1e-6,
+    sample_weights=None,
 ) -> jnp.ndarray:
     """Generalized Dice Loss with inverse-volume class weighting
     (reference pytorch3dunet_losses.py:138-170)."""
     probs = _normalize(input, normalization)
     assert probs.shape == target.shape
+    probs, target = _apply_sample_weights(probs, target, sample_weights)
     probs = flatten(probs)
     target = flatten(target).astype(probs.dtype)
     if probs.shape[0] == 1:
@@ -88,32 +106,53 @@ def generalized_dice_loss(
     return 1.0 - jnp.mean(dice)
 
 
-def bce_with_logits_loss(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits_loss(
+    input: jnp.ndarray, target: jnp.ndarray, sample_weights=None
+) -> jnp.ndarray:
     """Mean binary cross-entropy on logits (torch nn.BCEWithLogitsLoss
     equivalent, used by reference trainer :136-138)."""
     target = target.astype(input.dtype)
     # log-sum-exp stable form: max(x,0) - x*y + log(1 + exp(-|x|))
     neg_abs = -jnp.abs(input)
     loss = jnp.clip(input, min=0) - input * target + jnp.log1p(jnp.exp(neg_abs))
-    return jnp.mean(loss)
-
-
-def bce_dice_loss(
-    input: jnp.ndarray, target: jnp.ndarray, alpha: float, beta: float
-) -> jnp.ndarray:
-    """alpha * BCE + beta * Dice (reference pytorch3dunet_losses.py:173-184)."""
-    return alpha * bce_with_logits_loss(input, target) + beta * dice_loss(
-        input, target
+    if sample_weights is None:
+        return jnp.mean(loss)
+    w = sample_weights.astype(loss.dtype).reshape(
+        (-1,) + (1,) * (loss.ndim - 1)
+    )
+    per_sample_elems = loss[0].size
+    return (loss * w).sum() / jnp.clip(
+        w.sum() * per_sample_elems, min=1e-12
     )
 
 
-def cross_entropy_loss(input: jnp.ndarray, target_indices: jnp.ndarray) -> jnp.ndarray:
+def bce_dice_loss(
+    input: jnp.ndarray, target: jnp.ndarray, alpha: float, beta: float,
+    sample_weights=None,
+) -> jnp.ndarray:
+    """alpha * BCE + beta * Dice (reference pytorch3dunet_losses.py:173-184)."""
+    return alpha * bce_with_logits_loss(
+        input, target, sample_weights=sample_weights
+    ) + beta * dice_loss(input, target, sample_weights=sample_weights)
+
+
+def cross_entropy_loss(
+    input: jnp.ndarray, target_indices: jnp.ndarray, sample_weights=None
+) -> jnp.ndarray:
     """Mean categorical cross-entropy over the channel axis. `target_indices`
     is an integer class map shaped (N, *spatial) (torch nn.CrossEntropyLoss
     equivalent, used by reference trainer :139-141 with argmaxed targets)."""
     log_probs = jax.nn.log_softmax(input, axis=1)
     onehot = jax.nn.one_hot(target_indices, input.shape[1], axis=1, dtype=log_probs.dtype)
-    return -jnp.mean(jnp.sum(onehot * log_probs, axis=1))
+    per_pixel = -jnp.sum(onehot * log_probs, axis=1)
+    if sample_weights is None:
+        return jnp.mean(per_pixel)
+    w = sample_weights.astype(per_pixel.dtype).reshape(
+        (-1,) + (1,) * (per_pixel.ndim - 1)
+    )
+    return (per_pixel * w).sum() / jnp.clip(
+        w.sum() * per_pixel[0].size, min=1e-12
+    )
 
 
 def weighted_cross_entropy_loss(
@@ -293,16 +332,22 @@ def get_loss_fn(settings) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
             f"Using combined BCE and Dice loss with weighting of {alpha}*BCE "
             f"and {beta}*Dice"
         )
-        return lambda logits, tgt: bce_dice_loss(logits, tgt, alpha, beta)
+        return lambda logits, tgt, sample_weights=None: bce_dice_loss(
+            logits, tgt, alpha, beta, sample_weights=sample_weights
+        )
     if name == "DiceLoss":
         logging.info("Using DiceLoss")
-        return lambda logits, tgt: dice_loss(logits, tgt, normalization="none")
+        return lambda logits, tgt, sample_weights=None: dice_loss(
+            logits, tgt, normalization="none", sample_weights=sample_weights
+        )
     if name == "BCELoss":
         logging.info("Using BCELoss")
         return bce_with_logits_loss
     if name == "CrossEntropyLoss":
         logging.info("Using CrossEntropyLoss")
-        return lambda logits, tgt: cross_entropy_loss(logits, jnp.argmax(tgt, axis=1))
+        return lambda logits, tgt, sample_weights=None: cross_entropy_loss(
+            logits, jnp.argmax(tgt, axis=1), sample_weights=sample_weights
+        )
     if name == "GeneralizedDiceLoss":
         logging.info("Using GeneralizedDiceLoss")
         return generalized_dice_loss

@@ -17,10 +17,16 @@ from volume_segmantics_tpu.data.losses import compute_per_channel_dice
 
 
 def dice_coefficient(
-    input: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1e-6
+    input: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1e-6,
+    sample_weights=None,
 ) -> jnp.ndarray:
-    """Mean per-channel Dice (reference pytorch3dunet_metrics.py:17-31)."""
-    return jnp.mean(compute_per_channel_dice(input, target, epsilon=epsilon))
+    """Mean per-channel Dice (reference pytorch3dunet_metrics.py:17-31).
+    `sample_weights` (N,) of 0/1 excludes padded batch entries exactly."""
+    return jnp.mean(
+        compute_per_channel_dice(
+            input, target, epsilon=epsilon, sample_weights=sample_weights
+        )
+    )
 
 
 def _binarize_predictions(input: jnp.ndarray, n_classes: int) -> jnp.ndarray:
@@ -39,11 +45,14 @@ def _jaccard_index(prediction: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return intersection / jnp.clip(union, min=1e-8)
 
 
-def mean_iou(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def mean_iou(
+    input: jnp.ndarray, target: jnp.ndarray, sample_weights=None
+) -> jnp.ndarray:
     """Per-class binarized IoU averaged over classes then the batch
     (reference pytorch3dunet_metrics.py:34-106). Accepts (N, C, *spatial)
     probabilities and one-hot targets (vectorized over N via vmap rather
-    than the reference's python loops)."""
+    than the reference's python loops). `sample_weights` (N,) of 0/1
+    excludes padded batch entries from the batch average."""
     n_classes = input.shape[1]
 
     def per_sample(probs, tgt):
@@ -52,7 +61,11 @@ def mean_iou(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         per_channel = jax.vmap(_jaccard_index)(binary_pred, tgt)
         return jnp.mean(per_channel)
 
-    return jnp.mean(jax.vmap(per_sample)(input, target))
+    per_sample_iou = jax.vmap(per_sample)(input, target)
+    if sample_weights is None:
+        return jnp.mean(per_sample_iou)
+    w = sample_weights.astype(per_sample_iou.dtype)
+    return (per_sample_iou * w).sum() / jnp.clip(w.sum(), min=1e-12)
 
 
 def psnr(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -336,7 +336,8 @@ class VolSeg2dTrainer:
                 global_step += 1
                 train_losses.append(loss)
 
-            for images, masks, _ in tqdm(
+            valid_weights = []
+            for images, masks, n_valid in tqdm(
                 self.validation_loader,
                 desc="Validation batch",
                 bar_format=cfg.TQDM_BAR_FORMAT,
@@ -346,9 +347,11 @@ class VolSeg2dTrainer:
                     self.bundle.batch_stats,
                     self._shard(images),
                     self._shard(masks),
+                    n_valid,
                 )
                 valid_losses.append(loss)
                 eval_scores.append(score)
+                valid_weights.append(n_valid)
 
             # Pull all per-step scalars in ONE device round-trip.
             train_losses = list(np.asarray(jnp.stack(train_losses)))
@@ -357,8 +360,14 @@ class VolSeg2dTrainer:
 
             toc = time.perf_counter()
             self.avg_train_losses.append(float(np.average(train_losses)))
-            self.avg_valid_losses.append(float(np.average(valid_losses)))
-            self.avg_eval_scores.append(float(np.average(eval_scores)))
+            # Weight per-batch validation stats by their real sample counts
+            # so the padded remainder batch does not bias the epoch average.
+            self.avg_valid_losses.append(
+                float(np.average(valid_losses, weights=valid_weights))
+            )
+            self.avg_eval_scores.append(
+                float(np.average(eval_scores, weights=valid_weights))
+            )
             logging.info(
                 f"Epoch {epoch}. Training loss: {self.avg_train_losses[-1]}, "
                 f"Validation Loss: {self.avg_valid_losses[-1]}. "

@@ -86,12 +86,17 @@ def build_dp_eval_step(
     compute_dtype=jnp.bfloat16,
 ):
     """Jitted data-parallel eval step: (params, batch_stats, images_u8,
-    masks_u8) -> (loss, score)."""
+    masks_u8, n_valid) -> (loss, score).
+
+    `n_valid` marks how many leading batch entries are real: the batcher
+    pads short remainder batches to keep one compiled program, and the
+    loss/metric mask the padded tail exactly (zero contribution), so
+    validation statistics match a pad-free evaluation."""
     mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
 
-    def step(params, batch_stats, images_u8, masks_u8):
+    def step(params, batch_stats, images_u8, masks_u8, n_valid):
         imgs = images_u8.astype(jnp.float32) / 255.0
         x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
         targets = jnp.transpose(
@@ -103,13 +108,16 @@ def build_dp_eval_step(
             {"params": params, "batch_stats": batch_stats}, x, train=False
         )
         logits_nchw = jnp.transpose(logits, (0, 3, 1, 2))
-        loss = loss_fn(logits_nchw, targets)
+        sample_weights = (
+            jnp.arange(images_u8.shape[0]) < n_valid
+        ).astype(jnp.float32)
+        loss = loss_fn(logits_nchw, targets, sample_weights=sample_weights)
         probs = jax.nn.softmax(logits_nchw.astype(jnp.float32), axis=1)
-        score = eval_fn(probs, targets)
+        score = eval_fn(probs, targets, sample_weights=sample_weights)
         return loss, score
 
     return jax.jit(
         step,
-        in_shardings=(r_shard, r_shard, b_shard, b_shard),
+        in_shardings=(r_shard, r_shard, b_shard, b_shard, None),
         out_shardings=(None, None),
     )
