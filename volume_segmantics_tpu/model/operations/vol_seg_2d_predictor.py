@@ -62,7 +62,9 @@ class VolSeg2dPredictor:
         )
         self.bundle, self.num_labels, self.label_codes = model_tuple
         self.batch_size = utils.get_batch_size(settings, prediction=True)
-        self._sweep_cache = {}
+        from collections import OrderedDict
+
+        self._sweep_cache = OrderedDict()
         # Multi-chip: shard the slice axis of every sweep across the mesh.
         from volume_segmantics_tpu.parallel.mesh import get_mesh
 
@@ -143,12 +145,22 @@ class VolSeg2dPredictor:
         probs = jax.lax.slice(probs, (0, top, left), (n, top + h, left + w))
         return _rotate_to_axis_device(labels, axis), _rotate_to_axis_device(probs, axis)
 
+    # A long-lived predictor fed many distinct volume shapes would otherwise
+    # accumulate compiled programs without bound (a handful per shape).
+    JIT_CACHE_MAX_ENTRIES = 24
+
     def _get_jitted(self, kind: str, shape, fn):
-        """Per-(kind, volume-shape) jit cache."""
+        """Per-(kind, volume-shape) jit cache with LRU eviction."""
         key = (kind, tuple(shape))
-        if key not in self._sweep_cache:
-            self._sweep_cache[key] = jax.jit(fn)
-        return self._sweep_cache[key]
+        cached = self._sweep_cache.pop(key, None)
+        if cached is None:
+            cached = jax.jit(fn)
+            while len(self._sweep_cache) >= self.JIT_CACHE_MAX_ENTRIES:
+                _, evicted = self._sweep_cache.popitem(last=False)
+                # Drop XLA executables along with the wrapper.
+                evicted.clear_cache()
+        self._sweep_cache[key] = cached  # most-recently-used at the end
+        return cached
 
     def _sweep_axis_device(self, vol_dev, axis: Axis):
         """Device volume (D, H, W) uint8 -> (labels u8, probs f16) device
@@ -275,13 +287,21 @@ class VolSeg2dPredictor:
         """(D, H, W) uint8 labels -> (C, D, H, W) uint8 one-hot on device."""
         return jax.nn.one_hot(labels_dev, self.num_labels, axis=0, dtype=jnp.uint8)
 
-    def _predict_3_ways_one_hot_device(self, vol_dev):
+    def _three_way_one_hot_trace(self, variables, vol):
+        """Traceable 3-axis one-hot vote summation (reference predictor
+        :118-128) as ONE XLA program, mirroring the fused max-prob path."""
         out = None
         for axis in (Axis.Z, Axis.Y, Axis.X):
-            labels, _ = self._sweep_axis_device(vol_dev, axis)
+            labels, _ = self._axis_sweep_trace(variables, vol, axis)
             oh = self._one_hot_device(labels)
             out = oh if out is None else out + oh
         return out
+
+    def _predict_3_ways_one_hot_device(self, vol_dev):
+        fn = self._get_jitted(
+            "three_way_one_hot", vol_dev.shape, self._three_way_one_hot_trace
+        )
+        return fn(self.bundle.variables, vol_dev)
 
     def _predict_3_ways_one_hot(self, data_vol):
         return np.asarray(

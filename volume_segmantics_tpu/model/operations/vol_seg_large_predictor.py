@@ -54,7 +54,8 @@ class VolSegLargeVolPredictor:
     def _predict_axis_streaming(self, data_vol, axis, labels_out, probs_out):
         """Sweep one axis in slabs. `labels_out`/`probs_out` are (D, H, W)
         arrays in the ROTATED orientation of `axis` (caller handles the
-        inverse rotation via index mapping)."""
+        inverse rotation via index mapping). `probs_out` may be None when
+        only labels are needed (one-hot voting)."""
         rotated = utils.rotate_array_to_axis(data_vol, axis)
         n = rotated.shape[0]
         slab = self.slab_size
@@ -62,10 +63,11 @@ class VolSegLargeVolPredictor:
             stop = min(start + slab, n)
             chunk = np.ascontiguousarray(rotated[start:stop])
             labels, probs = self.predictor._predict_single_axis(
-                chunk, output_probs=True, axis=Axis.Z
+                chunk, output_probs=probs_out is not None, axis=Axis.Z
             )
             labels_out[start:stop] = labels
-            probs_out[start:stop] = probs
+            if probs_out is not None:
+                probs_out[start:stop] = probs
         return labels_out, probs_out
 
     @staticmethod
@@ -83,12 +85,12 @@ class VolSegLargeVolPredictor:
             acc_labels[start:stop] = al
             acc_probs[start:stop] = ap
 
-    def predict_3_ways(self, data_vol) -> tuple:
+    def predict_3_ways(self, data_vol, prefix: str = "") -> tuple:
         """3-axis max-prob TTA over an arbitrarily large in-RAM (or memmap)
         uint8 volume. Returns (labels u8 memmap, probs f16 memmap)."""
         shape = data_vol.shape
-        acc_labels = self._memmap("labels", shape, np.uint8)
-        acc_probs = self._memmap("probs", shape, np.float16)
+        acc_labels = self._memmap(f"{prefix}labels", shape, np.uint8)
+        acc_probs = self._memmap(f"{prefix}probs", shape, np.float16)
 
         logging.info("Streaming YX (z-axis) sweep.")
         self._predict_axis_streaming(data_vol, Axis.Z, acc_labels, acc_probs)
@@ -98,8 +100,12 @@ class VolSegLargeVolPredictor:
             rot_shape = tuple(
                 shape[i] for i in ((1, 0, 2) if axis == Axis.Y else (2, 1, 0))
             )
-            tmp_labels = self._memmap(f"labels_{axis.name}", rot_shape, np.uint8)
-            tmp_probs = self._memmap(f"probs_{axis.name}", rot_shape, np.float16)
+            tmp_labels = self._memmap(
+                f"{prefix}labels_{axis.name}", rot_shape, np.uint8
+            )
+            tmp_probs = self._memmap(
+                f"{prefix}probs_{axis.name}", rot_shape, np.float16
+            )
             self._predict_axis_streaming(data_vol, axis, tmp_labels, tmp_probs)
             # Rotate back views (swapaxes on memmaps is a zero-copy view)
             back_labels = utils.rotate_array_to_axis(tmp_labels, axis)
@@ -107,6 +113,111 @@ class VolSegLargeVolPredictor:
             logging.info(f"Merging {axis.name} sweep into accumulator.")
             self._merge_into(acc_labels, acc_probs, back_labels, back_probs)
         return acc_labels, acc_probs
+
+    def predict_12_ways(self, data_vol) -> tuple:
+        """12-way max-prob TTA (3 axes x 4 in-plane rotations; reference
+        predictor :100-116) with bounded memory: each rotation streams
+        through the device against a zero-copy np.rot90 VIEW of the input,
+        and per-rotation results merge slab-wise into the accumulator in the
+        reference's rotation order."""
+        acc_labels, acc_probs = self.predict_3_ways(data_vol, prefix="rot0_")
+        for k in range(1, 4):
+            logging.info(f"Streaming sweeps of volume rotated {k * 90} degrees.")
+            rotated_view = np.rot90(data_vol, k)  # zero-copy
+            lab_k, prob_k = self.predict_3_ways(rotated_view, prefix=f"rot{k}_")
+            logging.info(
+                f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg "
+                "volume."
+            )
+            self._merge_into(
+                acc_labels, acc_probs,
+                np.rot90(lab_k, -k), np.rot90(prob_k, -k),
+                slab=self.slab_size,
+            )
+        return acc_labels, acc_probs
+
+    # ------------------------------------------------------------------
+    # One-hot vote streaming (reference predictor :118-136 semantics)
+    # ------------------------------------------------------------------
+
+    def _accumulate_votes(self, votes, labels_view):
+        """votes (C, D, H, W) += one_hot(labels_view) slab-wise along D."""
+        n_classes = votes.shape[0]
+        slab = self.slab_size
+        for start in range(0, labels_view.shape[0], slab):
+            stop = min(start + slab, labels_view.shape[0])
+            chunk = np.asarray(labels_view[start:stop])
+            for c in range(n_classes):
+                votes[c, start:stop] += (chunk == c).astype(np.uint8)
+
+    def _three_way_votes(self, data_vol, votes, prefix: str = ""):
+        """Add the 3-axis one-hot votes for `data_vol` into `votes`
+        (both in the SAME orientation as data_vol)."""
+        shape = data_vol.shape
+        for axis in (Axis.Z, Axis.Y, Axis.X):
+            logging.info(f"Streaming one-hot sweep along axis {axis.name}.")
+            rot_shape = tuple(
+                shape[i]
+                for i in {
+                    Axis.Z: (0, 1, 2), Axis.Y: (1, 0, 2), Axis.X: (2, 1, 0)
+                }[axis]
+            )
+            tmp_labels = self._memmap(
+                f"{prefix}oh_labels_{axis.name}", rot_shape, np.uint8
+            )
+            self._predict_axis_streaming(data_vol, axis, tmp_labels, None)
+            self._accumulate_votes(
+                votes, utils.rotate_array_to_axis(tmp_labels, axis)
+            )
+
+    def predict_single_axis_one_hot(self, data_vol, axis=Axis.Z):
+        """Streaming single-axis one-hot votes: (C, D, H, W) uint8 memmap."""
+        shape = data_vol.shape
+        rot_shape = tuple(
+            shape[i]
+            for i in {Axis.Z: (0, 1, 2), Axis.Y: (1, 0, 2), Axis.X: (2, 1, 0)}[axis]
+        )
+        votes = self._memmap(
+            "oh_votes", (self.predictor.num_labels,) + shape, np.uint8
+        )
+        tmp_labels = self._memmap("oh_labels", rot_shape, np.uint8)
+        self._predict_axis_streaming(data_vol, axis, tmp_labels, None)
+        self._accumulate_votes(votes, utils.rotate_array_to_axis(tmp_labels, axis))
+        return votes
+
+    def predict_3_ways_one_hot(self, data_vol):
+        """Streaming 3-axis one-hot vote summation."""
+        votes = self._memmap(
+            "oh_votes", (self.predictor.num_labels,) + data_vol.shape, np.uint8
+        )
+        self._three_way_votes(data_vol, votes)
+        return votes
+
+    def predict_12_ways_one_hot(self, data_vol):
+        """Streaming 12-way one-hot vote summation: per-rotation votes
+        accumulate into rotated-orientation memmaps and are added back
+        through zero-copy np.rot90 views."""
+        votes = self._memmap(
+            "oh_votes", (self.predictor.num_labels,) + data_vol.shape, np.uint8
+        )
+        self._three_way_votes(data_vol, votes, prefix="rot0_")
+        for k in range(1, 4):
+            logging.info(
+                f"Streaming one-hot sweeps of volume rotated {k * 90} degrees."
+            )
+            rotated_view = np.rot90(data_vol, k)
+            votes_k = self._memmap(
+                f"rot{k}_oh_votes",
+                (self.predictor.num_labels,) + rotated_view.shape,
+                np.uint8,
+            )
+            self._three_way_votes(rotated_view, votes_k, prefix=f"rot{k}_")
+            back = np.rot90(votes_k, -k, axes=(1, 2))
+            slab = self.slab_size
+            for start in range(0, votes.shape[1], slab):
+                stop = min(start + slab, votes.shape[1])
+                votes[:, start:stop] += back[:, start:stop]
+        return votes
 
     def predict_to_hdf5(
         self,

@@ -57,11 +57,7 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 self.settings, "streaming_threshold", self.STREAMING_THRESHOLD_VOXELS
             )
         )
-        if (
-            not one_hot
-            and self.data_vol.size > threshold
-            and quality in (utils.Quality.LOW, utils.Quality.MEDIUM)
-        ):
+        if self.data_vol.size > threshold:
             import logging
 
             from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
@@ -73,7 +69,16 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 "using the slab-streaming predictor."
             )
             large = VolSegLargeVolPredictor(self.predictor)
-            if quality == utils.Quality.LOW:
+            if one_hot:
+                if quality == utils.Quality.LOW:
+                    prediction = large.predict_single_axis_one_hot(
+                        self.data_vol, axis=preferred_axis
+                    )
+                elif quality == utils.Quality.MEDIUM:
+                    prediction = large.predict_3_ways_one_hot(self.data_vol)
+                else:
+                    prediction = large.predict_12_ways_one_hot(self.data_vol)
+            elif quality == utils.Quality.LOW:
                 # Streaming outputs accumulate in the rotated orientation;
                 # rotate the memmap views back afterwards (zero-copy).
                 s = list(self.data_vol.shape)
@@ -87,13 +92,15 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 )
                 prediction = utils.rotate_array_to_axis(labels, preferred_axis)
                 probs = utils.rotate_array_to_axis(probs_mm, preferred_axis)
-            else:
+            elif quality == utils.Quality.MEDIUM:
                 prediction, probs = large.predict_3_ways(self.data_vol)
+            else:
+                prediction, probs = large.predict_12_ways(self.data_vol)
             if output_path is not None:
                 utils.save_data_to_hdf5(
                     prediction, output_path, chunking=self.input_data_chunking
                 )
-                if self.settings.output_probs:
+                if probs is not None and self.settings.output_probs:
                     utils.save_data_to_hdf5(
                         probs,
                         f"{output_path.parent / output_path.stem}_probs.h5",
