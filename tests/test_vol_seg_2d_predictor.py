@@ -69,3 +69,22 @@ class TestPredictor:
         assert (labels[0] == 1).all()  # higher prob wins
         assert (labels[1] == 0).all()  # tie keeps the first sweep
         assert (probs[0] == np.float16(0.9)).all()
+
+
+@pytest.mark.parametrize("bits,maxval", [(1, 2), (2, 4), (4, 16)])
+def test_label_bit_packing_roundtrip(bits, maxval):
+    """On-device packing + host unpacking must be lossless for every
+    supported class count and non-aligned widths."""
+    import jax.numpy as jnp
+
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+        _pack_u8_trace,
+        _unpack_u8_host,
+    )
+
+    rng = np.random.default_rng(bits)
+    for shape in [(3, 5, 17), (2, 4, 8), (4, 7, 31, 3)]:
+        arr = rng.integers(0, maxval, shape).astype(np.uint8)
+        packed = np.asarray(_pack_u8_trace(jnp.asarray(arr), bits))
+        out = _unpack_u8_host(packed, bits, shape[-1])
+        assert np.array_equal(out, arr)

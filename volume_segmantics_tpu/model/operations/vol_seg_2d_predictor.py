@@ -37,6 +37,33 @@ def _reflect101_indices(start: int, stop: int, size: int) -> np.ndarray:
     return np.where(idx >= size, period - idx, idx)
 
 
+def _pack_u8_trace(arr, bits: int):
+    """Traceable bit-packing of small-valued uint8 arrays along the last
+    axis (8//bits values per byte, MSB-first). Labels/vote counts are tiny
+    integers, so packing cuts the device->host transfer 2-8x — the
+    dominant cost of large-volume prediction when the host link is slow."""
+    per = 8 // bits
+    w = arr.shape[-1]
+    pad = (-w) % per
+    if pad:
+        arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, pad)])
+    grp = arr.reshape(arr.shape[:-1] + ((w + pad) // per, per))
+    out = jnp.zeros(grp.shape[:-1], jnp.uint8)
+    for i in range(per):
+        out = out | (grp[..., i] << (bits * (per - 1 - i))).astype(jnp.uint8)
+    return out
+
+
+def _unpack_u8_host(packed: np.ndarray, bits: int, w: int) -> np.ndarray:
+    """Host-side inverse of `_pack_u8_trace` (numpy, bandwidth-cheap)."""
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * per,), np.uint8)
+    for i in range(per):
+        out[..., i::per] = (packed >> (bits * (per - 1 - i))) & mask
+    return np.ascontiguousarray(out[..., :w])
+
+
 def _rotate_to_axis_device(vol, axis: Axis):
     """Device equivalent of utils.rotate_array_to_axis (swapaxes)."""
     if axis == Axis.Z:
@@ -186,9 +213,34 @@ class VolSeg2dPredictor:
             s[0], s[axis.value] = s[axis.value], s[0]
         logging.info(f"Predicting segmentation for volume of shape {tuple(s)}.")
         labels_d, probs_d = self._sweep_axis_device(vol_dev, axis)
-        labels = np.asarray(labels_d)
+        labels = self._fetch_labels(labels_d)
         probs = np.asarray(probs_d) if output_probs else None
         return labels, probs
+
+    # ------------------------------------------------------------------
+    # Device->host label transfer with on-device bit packing
+    # ------------------------------------------------------------------
+
+    def _label_bits(self) -> int:
+        if self.num_labels <= 2:
+            return 1
+        if self.num_labels <= 4:
+            return 2
+        if self.num_labels <= 16:
+            return 4
+        return 0  # raw bytes
+
+    def _fetch_packed(self, dev_arr, bits: int) -> np.ndarray:
+        if bits == 0:
+            return np.asarray(dev_arr)
+        fn = self._get_jitted(
+            f"pack{bits}", dev_arr.shape, lambda a: _pack_u8_trace(a, bits)
+        )
+        packed = np.asarray(fn(dev_arr))
+        return _unpack_u8_host(packed, bits, dev_arr.shape[-1])
+
+    def _fetch_labels(self, labels_dev) -> np.ndarray:
+        return self._fetch_packed(labels_dev, self._label_bits())
 
     @staticmethod
     def _to_device_u8(data_vol):
@@ -255,7 +307,9 @@ class VolSeg2dPredictor:
         # Max-probs are needed on device for merging, but the host transfer
         # (float16, 2x the label bytes) is skipped when the caller won't
         # save them.
-        return np.asarray(labels), (np.asarray(probs) if output_probs else None)
+        return self._fetch_labels(labels), (
+            np.asarray(probs) if output_probs else None
+        )
 
     def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
         """3-way prediction at 4 in-plane rotations, merged pairwise in
@@ -273,7 +327,9 @@ class VolSeg2dPredictor:
                 f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg volume."
             )
             labels, probs = self._merge_pair(labels, probs, labels_k, probs_k)
-        return np.asarray(labels), (np.asarray(probs) if output_probs else None)
+        return self._fetch_labels(labels), (
+            np.asarray(probs) if output_probs else None
+        )
 
     # ------------------------------------------------------------------
     # One-hot vote paths (reference predictor :118-136)
@@ -303,9 +359,14 @@ class VolSeg2dPredictor:
         )
         return fn(self.bundle.variables, vol_dev)
 
+    # Vote counts never exceed 12 (the sweep count), so 4-bit packing
+    # always applies to one-hot downloads.
+    _VOTE_BITS = 4
+
     def _predict_3_ways_one_hot(self, data_vol):
-        return np.asarray(
-            self._predict_3_ways_one_hot_device(self._to_device_u8(data_vol))
+        return self._fetch_packed(
+            self._predict_3_ways_one_hot_device(self._to_device_u8(data_vol)),
+            self._VOTE_BITS,
         )
 
     def _predict_12_ways_one_hot(self, data_vol):
@@ -317,4 +378,4 @@ class VolSeg2dPredictor:
             rotated = jnp.rot90(rotated)
             oh = self._predict_3_ways_one_hot_device(rotated)
             out = out + jnp.rot90(oh, -k, axes=(-3, -2))
-        return np.asarray(out)
+        return self._fetch_packed(out, self._VOTE_BITS)
