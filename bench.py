@@ -1,16 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark: HIGH-quality (12-way TTA) prediction of a 256^3
-volume with U-Net + ResNet-34 — the BASELINE.md north-star target of
-< 10 s wall-clock on one TPU v5e chip.
+"""Driver benchmark: the full BASELINE.json metric set in one JSON line.
 
-Prints one JSON line:
-{"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 10/seconds}
+BASELINE.json names "train slices/sec/chip; 256³ high-quality predict
+wall-clock; Dice parity". This script measures, on the attached device:
 
-vs_baseline > 1 means faster than the 10 s target.
+1. `unet_resnet34_12way_tta_predict_256cube_wallclock` — the headline
+   north-star (< 10 s on one v5e chip); median of 3 timed runs (the
+   host<->device tunnel's bandwidth fluctuates).
+2. `predict_512cube_12way_wallclock_s` — the reference tutorial's predict
+   workload scale (reference training_data/README.md:19).
+3. `train_slices_per_sec_chip` — fused train step (augmentation + forward +
+   backward + AdamW) at the reference's batch size 12.
+4. `tutorial_dice` — end-to-end training on the synthetic vessels volume
+   (tools/make_tutorial_data.py) followed by 12-way prediction, scored as
+   binary Dice against the ground-truth labels.
+
+Prints ONE JSON line: the headline metric in the driver schema, the rest
+under "extra".
 """
 
 import json
 import logging
+import statistics
 import sys
 import tempfile
 import time
@@ -21,7 +32,123 @@ import numpy as np
 logging.basicConfig(level=logging.WARNING)
 
 TARGET_SECONDS = 10.0
-VOL_SIDE = 256
+CACHE_DIR = Path("/root/.cache/volseg_bench")
+
+
+def _tutorial_volumes(side=256):
+    """Synthetic vessels data+labels, cached across bench runs."""
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    cache = CACHE_DIR / f"vessels{side}.npz"
+    if cache.exists():
+        blob = np.load(cache)
+        return blob["data"], blob["labels"]
+    sys.path.insert(0, str(Path(__file__).parent))
+    from tools.make_tutorial_data import make_vessel_volume
+
+    data, labels = make_vessel_volume(side, n_vessels=30, seed=0)
+    np.savez_compressed(cache, data=data, labels=labels)
+    return data, labels
+
+
+def _median_time(fn, n=3):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
+    """Fused DP train step throughput (augmentation on), like the trainer
+    runs it: async dispatch, one sync at the end."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from types import SimpleNamespace
+
+    from volume_segmantics_tpu.data.losses import get_loss_fn
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.parallel.mesh import get_mesh
+    from volume_segmantics_tpu.parallel.train import build_dp_train_step
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {
+        "type": ModelType.U_NET,
+        "encoder_name": "resnet34",
+        "encoder_weights": None,
+        "in_channels": 1,
+        "classes": 2,
+    }
+    bundle = create_model_on_device(0, struc, dtype=jnp.bfloat16)
+    loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
+                                          alpha=0.75, beta=0.25))
+    tx = optax.adamw(1.0, weight_decay=0.01)
+    mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
+    opt_state = tx.init(bundle.params)
+    mesh = get_mesh()
+    step = build_dp_train_step(
+        bundle.module, loss_fn, tx, mask, num_labels=2,
+        image_size=image_size, mesh=mesh, compute_dtype=jnp.bfloat16,
+        augment=True,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (batch, image_size, image_size),
+                                      dtype=np.uint8))
+    masks = jnp.asarray(rng.integers(0, 2, (batch, image_size, image_size),
+                                     dtype=np.uint8))
+    params, bs_, opt = bundle.params, bundle.batch_stats, opt_state
+    key = jax.random.PRNGKey(0)
+    # Warm-up/compile
+    params, bs_, opt, loss = step(params, bs_, opt, images, masks, 1e-3, key)
+    _ = np.asarray(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, bs_, opt, loss = step(params, bs_, opt, images, masks, 1e-3, sub)
+    _ = np.asarray(loss)
+    dt = time.perf_counter() - t0
+    return steps * batch / dt
+
+
+def train_tutorial_and_dice(data, labels, workdir: Path):
+    """Train on the synthetic vessels volume and return (dice, model_path)."""
+    from types import SimpleNamespace
+
+    import volume_segmantics_tpu.utils.base_data_utils as utils
+    from volume_segmantics_tpu.data import TrainingDataSlicer, get_settings_data
+    from volume_segmantics_tpu.model import VolSeg2dTrainer
+
+    settings = get_settings_data(
+        Path(__file__).parent / "volseg-settings" / "2d_model_train_settings.yaml"
+    )
+    settings.num_cyc_frozen = 0
+    settings.num_cyc_unfrozen = 10
+    settings.patience = 5
+    settings.slice_to_disk = False
+    settings.model = {"type": "U_Net", "encoder_name": "resnet34",
+                      "encoder_weights": None}
+    slicer = TrainingDataSlicer(data, labels, settings)
+    trainer = VolSeg2dTrainer.from_slicer(slicer, slicer.num_seg_classes, settings)
+    model_path = workdir / "bench_tutorial_model.pytorch"
+    trainer.train_model(model_path, settings.num_cyc_unfrozen,
+                        settings.patience, create=True, frozen=False)
+
+    pred_settings = get_settings_data(
+        Path(__file__).parent / "volseg-settings" / "2d_model_predict_settings.yaml"
+    )
+    pred_settings.clip_data = False
+    pred_settings.one_hot = False
+    pred_settings.output_probs = False
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    mgr = VolSeg2DPredictionManager(model_path, data, pred_settings)
+    prediction = mgr.predict_volume_to_path(None, utils.Quality.HIGH)
+    gt = (labels > 0).astype(np.uint8)
+    pred_bin = (np.asarray(prediction) > 0).astype(np.uint8)
+    inter = float((gt & pred_bin).sum())
+    dice = 2 * inter / float(gt.sum() + pred_bin.sum())
+    return dice, model_path
 
 
 def main():
@@ -42,7 +169,15 @@ def main():
 
     platform = jax.devices()[0].platform
     print(f"# devices: {jax.devices()} (platform={platform})", file=sys.stderr)
+    extra = {}
 
+    # --- Train throughput ---------------------------------------------------
+    print("# measuring train step throughput...", file=sys.stderr)
+    extra["train_slices_per_sec_chip"] = round(measure_train_slices_per_sec(), 1)
+    print(f"# train slices/s: {extra['train_slices_per_sec_chip']}",
+          file=sys.stderr)
+
+    # --- Predict wall-clocks ------------------------------------------------
     struc = {
         "type": ModelType.U_NET,
         "encoder_name": "resnet34",
@@ -55,53 +190,65 @@ def main():
         ckpt = Path(td) / "bench_model.pytorch"
         save_checkpoint(ckpt, bundle.variables, struc, label_codes={})
         settings = SimpleNamespace(
-            clip_data=False,
-            st_dev_factor=2.575,
-            downsample=False,
-            data_hdf5_path="/data",
-            cuda_device=0,
-            one_hot=False,
-            output_probs=False,
-            quality="high",
-            prediction_axis="Z",
+            clip_data=False, st_dev_factor=2.575, downsample=False,
+            data_hdf5_path="/data", cuda_device=0, one_hot=False,
+            output_probs=False, quality="high", prediction_axis="Z",
         )
         predictor = VolSeg2dPredictor(ckpt, settings)
-
         rng = np.random.default_rng(0)
-        vol = rng.integers(0, 255, (VOL_SIDE, VOL_SIDE, VOL_SIDE)).astype(np.uint8)
 
-        # Warm-up: compile the sweep + merges (cached for the timed run).
-        # One retry guards against transient device-tunnel hiccups.
+        vol256 = rng.integers(0, 255, (256,) * 3).astype(np.uint8)
         for attempt in range(2):
             try:
-                print("# warm-up (compile)...", file=sys.stderr)
-                t0 = time.perf_counter()
-                predictor._predict_12_ways_max_probs(vol)
-                warm = time.perf_counter() - t0
-                print(f"# warm-up took {warm:.2f}s", file=sys.stderr)
-
-                # Best of two timed runs: the device tunnel's
-                # latency/bandwidth fluctuates run to run.
-                elapsed = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    labels, probs = predictor._predict_12_ways_max_probs(vol)
-                    elapsed = min(elapsed, time.perf_counter() - t0)
+                print("# warm-up (compile) 256**3...", file=sys.stderr)
+                predictor._predict_12_ways_max_probs(vol256, output_probs=False)
+                elapsed256 = _median_time(
+                    lambda: predictor._predict_12_ways_max_probs(
+                        vol256, output_probs=False
+                    )
+                )
                 break
-            except Exception as e:  # pragma: no cover - transient device issue
+            except Exception as e:  # pragma: no cover - transient tunnel issue
                 if attempt == 1:
                     raise
                 print(f"# attempt failed ({e}); retrying in 30s", file=sys.stderr)
                 time.sleep(30)
-        assert labels.shape == vol.shape and labels.dtype == np.uint8
+        print(f"# 256^3 12-way: {elapsed256:.2f}s", file=sys.stderr)
+
+        vol512 = rng.integers(0, 255, (512,) * 3).astype(np.uint8)
+        print("# warm-up (compile) 512**3...", file=sys.stderr)
+        predictor._predict_12_ways_max_probs(vol512, output_probs=False)
+        extra["predict_512cube_12way_wallclock_s"] = round(
+            _median_time(
+                lambda: predictor._predict_12_ways_max_probs(
+                    vol512, output_probs=False
+                )
+            ),
+            3,
+        )
+        print(f"# 512^3 12-way: {extra['predict_512cube_12way_wallclock_s']}s",
+              file=sys.stderr)
+
+    # --- Tutorial Dice --------------------------------------------------
+    print("# training on synthetic vessels tutorial volume...", file=sys.stderr)
+    data, gt_labels = _tutorial_volumes(256)
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            dice, _ = train_tutorial_and_dice(data, gt_labels, Path(td))
+            extra["tutorial_dice"] = round(dice, 4)
+            print(f"# tutorial 12-way dice: {dice:.4f}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"# tutorial training failed: {e}", file=sys.stderr)
+            extra["tutorial_dice"] = None
 
     print(
         json.dumps(
             {
                 "metric": "unet_resnet34_12way_tta_predict_256cube_wallclock",
-                "value": round(elapsed, 3),
+                "value": round(elapsed256, 3),
                 "unit": "s",
-                "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+                "vs_baseline": round(TARGET_SECONDS / elapsed256, 3),
+                "extra": extra,
             }
         )
     )

@@ -1,7 +1,10 @@
-"""YAML/dict/None -> SimpleNamespace settings loading.
+"""Settings resolution: YAML file, plain dict, or nothing -> namespace.
 
-Parity with reference volume_segmantics/data/settings_data.py:10-27 (exits
-with status 1 on a missing settings file).
+The reference drives both workflows from two user-edited YAML files turned
+into untyped namespaces (reference volume_segmantics/data/settings_data.py:
+10-27). This framework keeps that contract — including terminating with
+exit status 1 when a settings file is missing — so the shipped
+``volseg-settings`` files and the SuRVoS2-style dict API work unchanged.
 """
 
 import logging
@@ -13,18 +16,21 @@ from typing import Union
 import yaml
 
 
-def get_settings_data(data: Union[Path, dict, None]) -> SimpleNamespace:
-    """Given a path to a YAML file or a dictionary, return a SimpleNamespace
-    of settings. None returns an empty namespace."""
-    if data is None:
-        return SimpleNamespace()
-    if isinstance(data, Path):
-        logging.info(f"Loading settings from {data}")
-        if data.exists():
-            with open(data, "r") as stream:
-                settings_dict = yaml.safe_load(stream)
-            return SimpleNamespace(**settings_dict)
+def _load_yaml_settings(path: Path) -> SimpleNamespace:
+    logging.info(f"Loading settings from {path}")
+    if not path.exists():
         logging.error("Couldn't find settings file... Exiting!")
         sys.exit(1)
+    return SimpleNamespace(**yaml.safe_load(path.read_text()))
+
+
+def get_settings_data(data: Union[Path, dict, None]) -> SimpleNamespace:
+    """Resolve `data` to a settings namespace.
+
+    Accepts a YAML file path, an already-assembled dict (the library-API
+    route), or None (empty settings)."""
+    if isinstance(data, Path):
+        return _load_yaml_settings(data)
     if isinstance(data, dict):
         return SimpleNamespace(**data)
+    return SimpleNamespace()

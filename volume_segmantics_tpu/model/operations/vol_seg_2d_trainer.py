@@ -649,46 +649,42 @@ class VolSeg2dTrainer:
     # ------------------------------------------------------------------
 
     def output_loss_fig(self, model_out_path: Path) -> None:
-        """Save training/validation loss curves + CSV stats."""
-        fig = plt.figure(figsize=(10, 8))
-        plt.plot(
-            range(1, len(self.avg_train_losses) + 1),
-            self.avg_train_losses,
-            label="Training Loss",
-        )
-        plt.plot(
-            range(1, len(self.avg_valid_losses) + 1),
-            self.avg_valid_losses,
-            label="Validation Loss",
-        )
-        minposs = self.avg_valid_losses.index(min(self.avg_valid_losses)) + 1
-        plt.axvline(minposs, linestyle="--", color="r", label="Early Stopping Checkpoint")
-        plt.xlabel("epochs")
-        plt.ylabel("loss")
-        plt.xlim(0, len(self.avg_train_losses) + 1)
-        plt.grid(True)
-        plt.legend()
-        plt.tight_layout()
-        output_dir = model_out_path.parent
-        fig_out_pth = output_dir / f"{model_out_path.stem}_loss_plot.png"
-        logging.info(f"Saving figure of training/validation losses to {fig_out_pth}")
-        fig.savefig(fig_out_pth, bbox_inches="tight")
+        """Save training/validation loss curves (with the best-epoch marker)
+        and a per-epoch CSV of losses + eval scores."""
+        out_dir = model_out_path.parent
+        stem = model_out_path.stem
+        epochs = np.arange(1, len(self.avg_train_losses) + 1)
+
+        fig, ax = plt.subplots(figsize=(10, 8))
+        ax.plot(epochs, self.avg_train_losses, label="Training Loss")
+        ax.plot(epochs, self.avg_valid_losses, label="Validation Loss")
+        best_epoch = int(np.argmin(self.avg_valid_losses)) + 1
+        ax.axvline(best_epoch, linestyle="--", color="r",
+                   label="Early Stopping Checkpoint")
+        ax.set_xlabel("epochs")
+        ax.set_ylabel("loss")
+        ax.set_xlim(0, len(epochs) + 1)
+        ax.grid(True)
+        ax.legend()
+        fig.tight_layout()
+        fig_path = out_dir / f"{stem}_loss_plot.png"
+        logging.info(f"Saving figure of training/validation losses to {fig_path}")
+        fig.savefig(fig_path, bbox_inches="tight")
         plt.close(fig)
-        rows = zip(
-            range(len(self.avg_train_losses)),
-            self.avg_train_losses,
-            self.avg_valid_losses,
-            self.avg_eval_scores,
-        )
-        with open(output_dir / f"{model_out_path.stem}_train_stats.csv", "w") as f:
+
+        # CSV column names are a de-facto contract with downstream tooling.
+        csv_path = out_dir / f"{stem}_train_stats.csv"
+        with open(csv_path, "w", newline="") as f:
             writer = csv.writer(f)
             writer.writerow(("Epoch", "Train Loss", "Valid Loss", "Eval Score"))
-            for row in rows:
-                writer.writerow(row)
+            writer.writerows(
+                zip(range(len(epochs)), self.avg_train_losses,
+                    self.avg_valid_losses, self.avg_eval_scores)
+            )
 
     def output_prediction_figure(self, model_path: Path) -> None:
-        """Save a montage of up to 4 validation images with ground truth and
-        model prediction."""
+        """Save a data / ground-truth / prediction montage over up to 4
+        validation samples."""
         images, masks, _ = next(iter(self.validation_loader))
         x = (images.astype(np.float32) / 255.0 - cfg.IMAGENET_MEAN) / cfg.IMAGENET_STD
         logits = self.bundle.module.apply(
@@ -696,27 +692,18 @@ class VolSeg2dTrainer:
             jnp.asarray(x)[..., None].astype(self.compute_dtype),
             train=False,
         )
-        labels = np.asarray(jnp.argmax(logits, axis=-1))
+        predictions = np.asarray(jnp.argmax(logits, axis=-1))
 
-        bs = images.shape[0]
-        rows = min(bs, 4)
-        fig = plt.figure(figsize=(12, 16))
-        columns = 3
-        j = 0
-        for i in range(columns * rows)[::3]:
-            col1 = fig.add_subplot(rows, columns, i + 1)
-            plt.imshow(images[j], cmap="gray")
-            col2 = fig.add_subplot(rows, columns, i + 2)
-            plt.imshow(masks[j], cmap="gray")
-            col3 = fig.add_subplot(rows, columns, i + 3)
-            plt.imshow(labels[j], cmap="gray")
-            j += 1
-            if i == 0:
-                col1.title.set_text("Data")
-                col2.title.set_text("Ground Truth")
-                col3.title.set_text("Prediction")
-        plt.suptitle(f"Predictions for {model_path.name}", fontsize=16)
-        plt_out_pth = model_path.parent / f"{model_path.stem}_prediction_image.png"
-        logging.info(f"Saving example image predictions to {plt_out_pth}")
-        plt.savefig(plt_out_pth, dpi=300)
+        n_rows = min(images.shape[0], 4)
+        fig, axes = plt.subplots(n_rows, 3, figsize=(12, 16), squeeze=False)
+        for row in range(n_rows):
+            panels = (images[row], masks[row], predictions[row])
+            for ax, panel in zip(axes[row], panels):
+                ax.imshow(panel, cmap="gray")
+        for ax, title in zip(axes[0], ("Data", "Ground Truth", "Prediction")):
+            ax.set_title(title)
+        fig.suptitle(f"Predictions for {model_path.name}", fontsize=16)
+        fig_path = model_path.parent / f"{model_path.stem}_prediction_image.png"
+        logging.info(f"Saving example image predictions to {fig_path}")
+        fig.savefig(fig_path, dpi=300)
         plt.close(fig)

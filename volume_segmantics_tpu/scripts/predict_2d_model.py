@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """`model-predict-2d` console entry point.
 
-Workflow parity with reference
-volume_segmantics/scripts/predict_2d_model.py:16-38.
+Same user-facing contract as reference
+volume_segmantics/scripts/predict_2d_model.py:16-38: positional model +
+data paths, settings discovered under <data_dir>/volseg-settings/, output
+written next to the data dir as <date>_<stem>_2d_model_vol_pred.h5.
 """
 
 import logging
@@ -19,8 +21,10 @@ warnings.filterwarnings("ignore", category=UserWarning)
 
 
 def create_output_path(root_path, data_vol_path):
-    pred_out_fn = f"{date.today()}_{data_vol_path.stem}_2d_model_vol_pred.h5"
-    return Path(root_path, pred_out_fn)
+    """Dated output filename derived from the input volume's stem."""
+    return Path(
+        root_path, f"{date.today()}_{data_vol_path.stem}_2d_model_vol_pred.h5"
+    )
 
 
 def main():
@@ -30,16 +34,14 @@ def main():
     logging.basicConfig(
         level=logging.INFO, format=cfg.LOGGING_FMT, datefmt=cfg.LOGGING_DATE_FMT
     )
-    parser = get_2d_prediction_parser()
-    args = parser.parse_args()
-    root_path = Path(getattr(args, cfg.DATA_DIR_ARG)).resolve()
-    settings_path = Path(root_path, cfg.SETTINGS_DIR, cfg.PREDICTION_SETTINGS_FN)
-    model_file_path = getattr(args, cfg.MODEL_PTH_ARG)
-    data_vol_path = Path(getattr(args, cfg.PREDICT_DATA_ARG))
-    output_path = create_output_path(root_path, data_vol_path)
-    settings = get_settings_data(settings_path)
-    pred_manager = VolSeg2DPredictionManager(model_file_path, data_vol_path, settings)
-    pred_manager.predict_volume_to_path(output_path)
+    args = get_2d_prediction_parser().parse_args()
+    root = Path(getattr(args, cfg.DATA_DIR_ARG)).resolve()
+    data_path = Path(getattr(args, cfg.PREDICT_DATA_ARG))
+    settings = get_settings_data(root / cfg.SETTINGS_DIR / cfg.PREDICTION_SETTINGS_FN)
+    manager = VolSeg2DPredictionManager(
+        getattr(args, cfg.MODEL_PTH_ARG), data_path, settings
+    )
+    manager.predict_volume_to_path(create_output_path(root, data_path))
 
 
 if __name__ == "__main__":

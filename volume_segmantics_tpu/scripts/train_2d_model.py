@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """`model-train-2d` console entry point.
 
-Workflow parity with reference volume_segmantics/scripts/train_2d_model.py:15-71:
-parse args, load settings, slice volumes, two-phase (frozen -> unfrozen)
-training, output figures, clean up slices.
+Same user-facing workflow as reference
+volume_segmantics/scripts/train_2d_model.py:15-71 — CLI flags, settings
+discovery under <data_dir>/volseg-settings/, dated model filename, frozen ->
+unfrozen two-phase schedule, figures, slice cleanup — implemented around
+this framework's in-memory slicing fast path (settings key
+``slice_to_disk: False`` skips the PNG round-trip entirely).
 """
 
 import logging
@@ -17,6 +20,64 @@ from volume_segmantics_tpu.model import VolSeg2dTrainer
 from volume_segmantics_tpu.utils import get_2d_training_parser
 
 
+def _parse_cli():
+    args = get_2d_training_parser().parse_args()
+    data_vols = getattr(args, cfg.TRAIN_DATA_ARG)
+    label_vols = getattr(args, cfg.LABEL_DATA_ARG)
+    if len(data_vols) != len(label_vols):
+        logging.error(
+            "Number of data volumes and number of label volumes must be equal!"
+        )
+        sys.exit(1)
+    root = Path(getattr(args, cfg.DATA_DIR_ARG)).resolve()
+    return data_vols, label_vols, root
+
+
+def _slice_all_volumes(data_vols, label_vols, settings, root):
+    """Slice every (data, label) pair; returns the trainer's inputs, the
+    widest label count seen, its codes, and the last slicer (whose PNGs are
+    cleaned up at the end, as the reference does)."""
+    to_disk = bool(getattr(settings, "slice_to_disk", True))
+    data_dir = root / settings.data_im_dirname
+    seg_dir = root / settings.seg_im_out_dirname
+    mem_data, mem_labels = [], []
+    max_labels, codes, slicer = 0, None, None
+    for i, (data_path, label_path) in enumerate(zip(data_vols, label_vols)):
+        slicer = TrainingDataSlicer(data_path, label_path, settings)
+        if to_disk:
+            slicer.output_data_slices(data_dir, f"data{i}")
+            slicer.output_label_slices(seg_dir, f"seg{i}")
+        else:
+            d, l = slicer.get_slice_arrays()
+            mem_data.extend(d)
+            mem_labels.extend(l)
+        if slicer.num_seg_classes > max_labels:
+            max_labels, codes = slicer.num_seg_classes, slicer.codes
+    assert codes is not None, "no volumes were sliced"
+    inputs = (data_dir, seg_dir) if to_disk else (mem_data, mem_labels)
+    return inputs, max_labels, codes, slicer
+
+
+def _model_output_path(settings, root: Path) -> Path:
+    mtype = settings.model["type"]
+    mtype = mtype if isinstance(mtype, str) else mtype.name
+    return root / f"{date.today()}_{mtype}_{settings.model_output_fn}.pytorch"
+
+
+def _run_training_phases(trainer, model_out: Path, settings) -> None:
+    """Frozen-encoder phase (when configured) followed by fine-tuning, with
+    the reference's create/warm-start semantics."""
+    frozen_epochs = settings.num_cyc_frozen
+    unfrozen_epochs = settings.num_cyc_unfrozen
+    patience = settings.patience
+    if frozen_epochs > 0:
+        trainer.train_model(model_out, frozen_epochs, patience,
+                            create=True, frozen=True)
+    if unfrozen_epochs > 0:
+        trainer.train_model(model_out, unfrozen_epochs, patience,
+                            create=frozen_epochs == 0, frozen=False)
+
+
 def main():
     from volume_segmantics_tpu.utils.device import configure_platform
 
@@ -24,69 +85,17 @@ def main():
     logging.basicConfig(
         level=logging.INFO, format=cfg.LOGGING_FMT, datefmt=cfg.LOGGING_DATE_FMT
     )
-    parser = get_2d_training_parser()
-    args = parser.parse_args()
-    data_vols = getattr(args, cfg.TRAIN_DATA_ARG)
-    label_vols = getattr(args, cfg.LABEL_DATA_ARG)
-    root_path = Path(getattr(args, cfg.DATA_DIR_ARG)).resolve()
-    if len(data_vols) != len(label_vols):
-        logging.error(
-            "Number of data volumes and number of label volumes must be equal!"
-        )
-        sys.exit(1)
-    settings_path = Path(root_path, cfg.SETTINGS_DIR, cfg.TRAIN_SETTINGS_FN)
-    settings = get_settings_data(settings_path)
-    data_im_out_dir = root_path / settings.data_im_dirname
-    seg_im_out_dir = root_path / settings.seg_im_out_dirname
-    max_label_no = 0
-    label_codes = None
-    # slice_to_disk=False keeps slices in memory (TPU-first fast path; no
-    # PNG round-trip). Default True matches the reference workflow.
-    slice_to_disk = bool(getattr(settings, "slice_to_disk", True))
-    mem_data, mem_labels = [], []
-    for count, (data_vol_path, label_vol_path) in enumerate(
-        zip(data_vols, label_vols)
-    ):
-        slicer = TrainingDataSlicer(data_vol_path, label_vol_path, settings)
-        if slice_to_disk:
-            data_prefix, label_prefix = f"data{count}", f"seg{count}"
-            slicer.output_data_slices(data_im_out_dir, data_prefix)
-            slicer.output_label_slices(seg_im_out_dir, label_prefix)
-        else:
-            d, l = slicer.get_slice_arrays()
-            mem_data.extend(d)
-            mem_labels.extend(l)
-        if slicer.num_seg_classes > max_label_no:
-            max_label_no = slicer.num_seg_classes
-            label_codes = slicer.codes
-    assert label_codes is not None
-    if slice_to_disk:
-        trainer = VolSeg2dTrainer(
-            data_im_out_dir, seg_im_out_dir, max_label_no, settings
-        )
-    else:
-        trainer = VolSeg2dTrainer(mem_data, mem_labels, max_label_no, settings)
-    num_cyc_frozen = settings.num_cyc_frozen
-    num_cyc_unfrozen = settings.num_cyc_unfrozen
-    model_type = settings.model["type"]
-    model_type = model_type if isinstance(model_type, str) else model_type.name
-    model_fn = f"{date.today()}_{model_type}_{settings.model_output_fn}.pytorch"
-    model_out = Path(root_path, model_fn)
-    if num_cyc_frozen > 0:
-        trainer.train_model(
-            model_out, num_cyc_frozen, settings.patience, create=True, frozen=True
-        )
-    if num_cyc_unfrozen > 0 and num_cyc_frozen > 0:
-        trainer.train_model(
-            model_out, num_cyc_unfrozen, settings.patience, create=False, frozen=False
-        )
-    elif num_cyc_unfrozen > 0 and num_cyc_frozen == 0:
-        trainer.train_model(
-            model_out, num_cyc_unfrozen, settings.patience, create=True, frozen=False
-        )
+    data_vols, label_vols, root = _parse_cli()
+    settings = get_settings_data(root / cfg.SETTINGS_DIR / cfg.TRAIN_SETTINGS_FN)
+    inputs, max_labels, label_codes, last_slicer = _slice_all_volumes(
+        data_vols, label_vols, settings, root
+    )
+    trainer = VolSeg2dTrainer(inputs[0], inputs[1], max_labels, settings)
+    model_out = _model_output_path(settings, root)
+    _run_training_phases(trainer, model_out, settings)
     trainer.output_loss_fig(model_out)
     trainer.output_prediction_figure(model_out)
-    slicer.clean_up_slices()
+    last_slicer.clean_up_slices()
 
 
 if __name__ == "__main__":
