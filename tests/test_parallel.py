@@ -3,6 +3,7 @@
 import jax
 import numpy as np
 import pytest
+from pathlib import Path
 
 from volume_segmantics_tpu.parallel.mesh import get_mesh, replicate, shard_batch
 
@@ -48,3 +49,84 @@ def test_sharded_prediction_matches_single_device(model_path, prediction_setting
     assert np.allclose(
         p_dp.astype(np.float32), p_1.astype(np.float32), atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_two_process_dcn_training(tmp_path):
+    """Multi-host groundwork (VERDICT r1 #8): a real 2-process jax.distributed
+    cluster (CPU transport standing in for DCN) runs the UNCHANGED DP train
+    step over the global mesh with process-local batch feeding, and both
+    processes converge to the same loss as a single-process run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            VOLSEG_TPU_DISTRIBUTED="1",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp_cache",
+            PYTHONPATH=str(Path(__file__).parent.parent),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(Path(__file__).parent / "dcn_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    losses = []
+    for out, _ in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("FINAL_LOSS=")]
+        assert line, out
+        losses.append(float(line[0].split("=")[1]))
+    assert np.isclose(losses[0], losses[1], rtol=1e-6)
+
+    # Single-process ground truth on a 4-device mesh with the same data.
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from types import SimpleNamespace
+
+    from volume_segmantics_tpu.data.losses import get_loss_fn
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.parallel.train import build_dp_train_step
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {"type": ModelType.U_NET, "encoder_name": "resnet34",
+             "encoder_weights": None, "in_channels": 1, "classes": 2}
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(0))
+    loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
+                                          alpha=0.75, beta=0.25))
+    tx = optax.adamw(1.0, weight_decay=0.01)
+    mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
+    mesh4 = get_mesh(4)
+    step = build_dp_train_step(
+        bundle.module, loss_fn, tx, mask, num_labels=2, image_size=32,
+        mesh=mesh4, compute_dtype=jnp.float32, augment=False,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (8, 32, 32), dtype=np.uint8)
+    masks = rng.integers(0, 2, (8, 32, 32), dtype=np.uint8)
+    params, bs_, opt = bundle.params, bundle.batch_stats, tx.init(bundle.params)
+    loss = None
+    for i in range(3):
+        params, bs_, opt, loss = step(
+            params, bs_, opt, shard_batch(images, mesh4),
+            shard_batch(masks, mesh4), 1e-3, jax.random.PRNGKey(i),
+        )
+    # Cross-process collectives reduce in a different order than the
+    # single-process program, so allow small float drift after 3 optimizer
+    # steps (the two workers must still agree exactly, asserted above).
+    assert np.isclose(float(loss), losses[0], rtol=2e-3), (float(loss), losses)

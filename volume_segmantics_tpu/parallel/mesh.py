@@ -8,6 +8,8 @@ collectives needed (the "pick a mesh, annotate shardings, let XLA insert
 collectives" recipe).
 """
 
+import logging
+import os
 from typing import Optional
 
 import jax
@@ -16,10 +18,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host (DCN) glue: initialize the JAX distributed runtime when
+    `VOLSEG_TPU_DISTRIBUTED=1`.
+
+    On TPU pods, `jax.distributed.initialize()` auto-discovers the
+    coordinator from the TPU metadata; elsewhere it reads the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID variables.
+    After initialization `jax.devices()` enumerates the GLOBAL device set,
+    so `get_mesh()` and the DP train/eval/predict steps work unchanged —
+    host data parallelism over DCN falls out of the same GSPMD program.
+    Each process feeds its local batch shard through `shard_batch`.
+
+    Returns True when running multi-process. Idempotent.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return jax.process_count() > 1
+    flag = os.environ.get("VOLSEG_TPU_DISTRIBUTED", "0").lower()
+    if flag not in ("1", "true", "yes"):
+        return False
+    # On TPU pods initialize() auto-discovers everything; for manual
+    # clusters (or simulation) the three standard variables are passed
+    # through explicitly.
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num_processes = os.environ.get("JAX_NUM_PROCESSES")
+    process_id = os.environ.get("JAX_PROCESS_ID")
+    if coordinator and num_processes is not None and process_id is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(num_processes),
+            process_id=int(process_id),
+        )
+    else:
+        jax.distributed.initialize()
+    _distributed_initialized = True
+    logging.info(
+        f"JAX distributed runtime up: process {jax.process_index()}/"
+        f"{jax.process_count()}, {jax.local_device_count()} local / "
+        f"{jax.device_count()} global devices."
+    )
+    return jax.process_count() > 1
+
 
 def get_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over the first `n_devices` devices (all by
-    default)."""
+    default). Under `jax.distributed` this spans every process's devices
+    (ICI within a host/slice, DCN across hosts)."""
+    maybe_initialize_distributed()
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
@@ -36,8 +85,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch on the mesh, sharded along axis 0."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch on the mesh, sharded along axis 0.
+
+    Single-process: `batch` is the full global batch. Multi-process (DCN):
+    `batch` is this process's LOCAL portion; the global array is assembled
+    across processes without any cross-host data movement."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def replicate(tree, mesh: Mesh):
