@@ -56,15 +56,25 @@ def clahe(
         membership.T, oh, preferred_element_type=jnp.float32
     )  # (T, B)
 
-    # Clip histogram and redistribute the excess uniformly (standard CLAHE).
-    limit = jnp.maximum(clip_limit * tile_area / n_bins, 1.0)
+    # Clip histogram and redistribute the excess, bit-exact to OpenCV
+    # (modules/imgproc/src/clahe.cpp): integer-truncated clip limit, then
+    # floor(excess / n_bins) added to every bin, then the integer residual
+    # handed out one count at a time to bins 0, step, 2*step, ... All
+    # quantities stay exact small integers in float32.
+    limit = jnp.maximum(jnp.floor(clip_limit * tile_area / n_bins), 1.0)
     clipped = jnp.minimum(hist, limit)
-    excess = (hist - clipped).sum(axis=1, keepdims=True)
-    clipped = clipped + excess / n_bins
+    excess = (hist - clipped).sum(axis=1, keepdims=True)  # (T, 1) integral
+    redist = jnp.floor(excess / n_bins)
+    residual = excess - redist * n_bins  # in [0, n_bins)
+    step = jnp.maximum(jnp.floor(n_bins / jnp.maximum(residual, 1.0)), 1.0)
+    bin_idx = jnp.arange(n_bins, dtype=jnp.float32)[None, :]
+    gets_one = (jnp.mod(bin_idx, step) == 0) & (bin_idx / step < residual)
+    clipped = clipped + redist + gets_one.astype(jnp.float32)
 
-    # Per-tile LUT from the CDF (OpenCV scaling: (n_bins - 1) / tile_area).
+    # Per-tile LUT from the CDF. OpenCV: saturate_cast<uchar>(cdf * scale)
+    # with scale = (n_bins - 1) / tile_area and round-half-to-even (cvRound).
     cdf = jnp.cumsum(clipped, axis=1)
-    luts = jnp.round(cdf * ((n_bins - 1) / tile_area))
+    luts = jnp.rint(cdf * ((n_bins - 1) / tile_area))
     luts = jnp.clip(luts, 0, 255)  # (T, B)
 
     # LUT lookup for every (pixel, tile) pair as one matmul:
@@ -73,14 +83,18 @@ def clahe(
         oh, luts.T.astype(mm_dtype), preferred_element_type=jnp.float32
     ).reshape(h, w, grid_h, grid_w)
 
-    # Separable bilinear blend over the 4 surrounding tiles (border
-    # replicated), expressed as two dense (H, grid) weight matrices with 2
-    # non-zeros per row — a cheap VPU contraction instead of gathers.
+    # Separable bilinear blend over the 4 surrounding tiles, expressed as two
+    # dense (H, grid) weight matrices with 2 non-zeros per row — a cheap VPU
+    # contraction instead of gathers. Weight math matches OpenCV's
+    # interpolation body exactly: t = x / tile - 0.5, fraction taken BEFORE
+    # clamping, and both neighbour indices clamped independently (so at the
+    # borders the full weight lands on the edge tile).
     def axis_weights(size, tile, grid):
-        t = (jnp.arange(size, dtype=jnp.float32) + 0.5) / tile - 0.5
-        t0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, grid - 1)
-        t1 = jnp.clip(t0 + 1, 0, grid - 1)
-        frac = jnp.clip(t - jnp.floor(t), 0.0, 1.0)
+        t = jnp.arange(size, dtype=jnp.float32) / tile - 0.5
+        t0f = jnp.floor(t)
+        frac = t - t0f
+        t0 = jnp.clip(t0f.astype(jnp.int32), 0, grid - 1)
+        t1 = jnp.clip(t0f.astype(jnp.int32) + 1, 0, grid - 1)
         w0 = jax.nn.one_hot(t0, grid, dtype=jnp.float32) * (1.0 - frac)[:, None]
         w1 = jax.nn.one_hot(t1, grid, dtype=jnp.float32) * frac[:, None]
         return w0 + w1  # (size, grid)
