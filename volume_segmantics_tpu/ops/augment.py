@@ -127,17 +127,20 @@ def _elastic_coords(rng, coords, size):
     return jnp.stack([mapped[:, 0], mapped[:, 1]]).reshape(2, size, size)
 
 
-def _grid_axis_apply(rng, v, size):
+def grid_cell_count(size: int) -> int:
+    """Number of grid-distortion cells along one axis (incl. partial cell)."""
+    return len(range(0, size, size // GRID_NUM_STEPS))
+
+
+def grid_axis_map(factors, v, size):
     """Piecewise-linear GridDistortion map evaluated directly on coordinate
-    field `v` (albumentations semantics: per-cell slope 1 + U(-limit, limit),
-    partial last cell pinned to the image edge). Direct evaluation over the
-    <= 6 static cells — no table + searchsorted interp (slow on TPU)."""
+    field `v` (albumentations semantics: per-cell slope `factors[i]`
+    = 1 + U(-limit, limit), partial last cell pinned to the image edge).
+    Direct evaluation over the <= 6 static cells — no table + searchsorted
+    interp (slow on TPU). Matches albumentations' np.linspace construction
+    exactly (tests/test_cv2_parity.py pins it)."""
     step = size // GRID_NUM_STEPS
     starts = list(range(0, size, step))
-    n_cells = len(starts)
-    factors = 1.0 + jax.random.uniform(
-        rng, (n_cells,), minval=-GRID_DISTORT_LIMIT, maxval=GRID_DISTORT_LIMIT
-    )
     out = jnp.zeros_like(v)
     prev = jnp.float32(0.0)
     for i, start in enumerate(starts):
@@ -155,24 +158,25 @@ def _grid_axis_apply(rng, v, size):
 
 def _grid_coords(rng, coords, size):
     k_y, k_x = jax.random.split(rng)
-    y = _grid_axis_apply(k_y, coords[0], size)
-    x = _grid_axis_apply(k_x, coords[1], size)
+    n_cells = grid_cell_count(size)
+
+    def draw(k):
+        return 1.0 + jax.random.uniform(
+            k, (n_cells,), minval=-GRID_DISTORT_LIMIT, maxval=GRID_DISTORT_LIMIT
+        )
+
+    y = grid_axis_map(draw(k_y), coords[0], size)
+    x = grid_axis_map(draw(k_x), coords[1], size)
     return jnp.stack([y, x])
 
 
-def _optical_coords(rng, coords, size):
-    """OpticalDistortion: radial lens model matching cv2
-    initUndistortRectifyMap with distCoeffs (k, k, 0, 0)."""
-    k_k, k_dx, k_dy = jax.random.split(rng, 3)
-    k = jax.random.uniform(
-        k_k, (), minval=-OPTICAL_DISTORT_LIMIT, maxval=OPTICAL_DISTORT_LIMIT
-    )
-    dx = jnp.round(
-        jax.random.uniform(k_dx, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
-    )
-    dy = jnp.round(
-        jax.random.uniform(k_dy, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
-    )
+def optical_field(k, dx, dy, coords, size):
+    """Radial lens distortion source-coordinate field: the map
+    cv2.initUndistortRectifyMap produces for camera matrix
+    [[f,0,cx],[0,f,cy],[0,0,1]] (f = size, cx = size/2 + dx, cy = size/2 + dy)
+    with distortion coefficients (k, k, 0, 0), as albumentations'
+    OpticalDistortion builds it. Pinned against cv2 in
+    tests/test_cv2_parity.py."""
     f = jnp.float32(size)
     cx = size * 0.5 + dx
     cy = size * 0.5 + dy
@@ -185,20 +189,51 @@ def _optical_coords(rng, coords, size):
     return jnp.stack([y, x])
 
 
-def _geometric_coords(rng, distorted, size):
+def _optical_coords(rng, coords, size):
+    """OpticalDistortion parameter draw (reference augmentations.py:94:
+    distort_limit=1, shift_limit=0.5; albumentations rounds the shift)."""
+    k_k, k_dx, k_dy = jax.random.split(rng, 3)
+    k = jax.random.uniform(
+        k_k, (), minval=-OPTICAL_DISTORT_LIMIT, maxval=OPTICAL_DISTORT_LIMIT
+    )
+    dx = jnp.round(
+        jax.random.uniform(k_dx, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
+    )
+    dy = jnp.round(
+        jax.random.uniform(k_dy, (), minval=-OPTICAL_SHIFT_LIMIT, maxval=OPTICAL_SHIFT_LIMIT)
+    )
+    return optical_field(k, dx, dy, coords, size)
+
+
+def _distortion_coords(rng, coords, size):
+    """OneOf{elastic, grid, optical} drawn PER SAMPLE, matching
+    albumentations' per-call OneOf semantics (reference
+    augmentations.py:88-97). All three fields are computed and selected with
+    nested wheres — under vmap a lax.switch would compute all branches
+    anyway, and the fields are pointwise/VPU work that is negligible next to
+    the fused forward+backward pass."""
+    k_branch, k_e, k_g, k_o = jax.random.split(rng, 4)
+    branch = jax.random.randint(k_branch, (), 0, 3)
+    elastic = _elastic_coords(k_e, coords, size)
+    grid = _grid_coords(k_g, coords, size)
+    optical = _optical_coords(k_o, coords, size)
+    return jnp.where(
+        branch == 0, elastic, jnp.where(branch == 1, grid, optical)
+    )
+
+
+def _geometric_coords(rng, size):
     """Compose every geometric augmentation into one (2, S, S) source field.
 
     Output -> source composition order is the reverse of the image-space
-    pipeline order (crop, flip, rot90, transpose, distortion). `distorted`
-    is this sample's precomputed distortion field (the OneOf branch is drawn
-    once per batch — see augment_batch — so only one distortion kind is
-    computed instead of all three per sample under vmap+switch)."""
+    pipeline order (crop, flip, rot90, transpose, distortion)."""
     keys = jax.random.split(rng, 10)
     coords = identity_coords(size, size)
     s = float(size - 1)
 
-    # Apply distortion with p = 0.5
+    # Apply OneOf distortion with p = 0.5
     do_distort = jax.random.bernoulli(keys[0], 0.5)
+    distorted = _distortion_coords(keys[1], coords, size)
     coords = jnp.where(do_distort, distorted, coords)
 
     # Transpose, p = 0.5 (inverse of transpose is itself: swap (y, x))
@@ -249,9 +284,9 @@ def _intensity(rng, img):
     return jnp.where(do_bcg, adjusted, img)
 
 
-def _augment_one(rng, distorted, img, mask, size):
+def _augment_one(rng, img, mask, size):
     k_geo, k_int = jax.random.split(rng)
-    coords = _geometric_coords(k_geo, distorted, size)
+    coords = _geometric_coords(k_geo, size)
     img_out = bilinear_sample(img, coords)
     mask_out = nearest_sample(mask, coords)
     img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
@@ -271,27 +306,12 @@ def augment_batch(rng, images, masks, size):
     Returns:
         (images, masks) augmented, same shapes/dtypes.
 
-    The OneOf distortion *kind* (elastic/grid/optical) is drawn once per
-    batch rather than per sample: under vmap a per-sample lax.switch would
-    compute all three branches for every sample. Whether a given sample is
-    distorted at all (p=0.5) remains per-sample.
+    Every random draw — including the OneOf distortion kind — is per
+    sample, exactly like albumentations applied per image on the host.
     """
     n = images.shape[0]
-    k_branch, k_dist, k_samples = jax.random.split(rng, 3)
-    branch = jax.random.randint(k_branch, (), 0, 3)
-    dist_keys = jax.random.split(k_dist, n)
-    ident = identity_coords(size, size)
-    distorted = jax.lax.switch(
-        branch,
-        [
-            lambda ks: jax.vmap(lambda k: _elastic_coords(k, ident, size))(ks),
-            lambda ks: jax.vmap(lambda k: _grid_coords(k, ident, size))(ks),
-            lambda ks: jax.vmap(lambda k: _optical_coords(k, ident, size))(ks),
-        ],
-        dist_keys,
-    )
-    keys = jax.random.split(k_samples, n)
+    keys = jax.random.split(rng, n)
     imgs, msks = jax.vmap(
-        lambda k, d, i, m: _augment_one(k, d, i, m, size)
-    )(keys, distorted, images, masks)
+        lambda k, i, m: _augment_one(k, i, m, size)
+    )(keys, images, masks)
     return imgs, msks.astype(masks.dtype)
