@@ -311,25 +311,60 @@ class VolSeg2dPredictor:
             np.asarray(probs) if output_probs else None
         )
 
-    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
-        """3-way prediction at 4 in-plane rotations, merged pairwise in
-        rotation order (reference predictor :100-116), device-resident."""
-        vol_dev = self._to_device_u8(data_vol)
-        labels, probs = self._predict_3_ways_device(vol_dev)
-        rotated = vol_dev
-        for k in range(1, 4):
-            logging.info(f"Rotating volume {k * 90} degrees")
-            rotated = jnp.rot90(rotated)
-            labels_k, probs_k = self._predict_3_ways_device(rotated)
+    def _merge_rotations_trace(self, sweeps, want_probs: bool, pack_bits: int):
+        """Traceable back-rotation + pairwise max-prob merge + label packing
+        of the four rotated 3-way results, as ONE small XLA program. Fusing
+        this glue matters: each merge/pack as a standalone dispatch forces an
+        HBM relayout of the 3-D outputs (~0.8 s per merge at 512³ measured on
+        v5e — 3-4x the pure bandwidth cost). The sweeps themselves stay as
+        per-rotation `three_way` executables: a single monolithic 12-sweep
+        program measured ~10% SLOWER end-to-end and compiles 3x longer."""
+        labels, probs = sweeps[0]
+        for k, (labels_k, probs_k) in enumerate(sweeps[1:], start=1):
             labels_k = jnp.rot90(labels_k, -k)
             probs_k = jnp.rot90(probs_k, -k)
-            logging.info(
-                f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg volume."
-            )
-            labels, probs = self._merge_pair(labels, probs, labels_k, probs_k)
-        return self._fetch_labels(labels), (
-            np.asarray(probs) if output_probs else None
+            take_k = probs_k > probs
+            labels = jnp.where(take_k, labels_k, labels)
+            probs = jnp.where(take_k, probs_k, probs)
+        if pack_bits:
+            labels = _pack_u8_trace(labels, pack_bits)
+        return (labels, probs) if want_probs else (labels,)
+
+    def _sweep_all_rotations(self, vol_dev, sweep_fn):
+        """Run `sweep_fn` on the volume at the 4 in-plane rotations
+        (reference predictor :100-116). All dispatches are async; results
+        stay on device in their rotated frames."""
+        outs = [sweep_fn(vol_dev)]
+        rotated = vol_dev
+        for k in range(1, 4):
+            rotated = jnp.rot90(rotated)
+            outs.append(sweep_fn(rotated))
+        return outs
+
+    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
+        """3-way prediction at 4 in-plane rotations, merged pairwise in
+        rotation order (reference predictor :100-116), fully device-resident:
+        4 fused 3-way sweep programs + 1 fused merge/pack program."""
+        vol_dev = self._to_device_u8(data_vol)
+        logging.info(
+            f"Predicting 12 ways (4 rotations x 3 axes) for volume "
+            f"{tuple(vol_dev.shape)}."
         )
+        sweeps = self._sweep_all_rotations(vol_dev, self._predict_3_ways_device)
+        bits = self._label_bits()
+        fn = self._get_jitted(
+            f"merge_rot_p{int(output_probs)}b{bits}",
+            vol_dev.shape,
+            lambda *flat: self._merge_rotations_trace(
+                list(zip(flat[0::2], flat[1::2])), output_probs, bits
+            ),
+        )
+        out = fn(*[x for pair in sweeps for x in pair])
+        if bits:
+            labels = _unpack_u8_host(np.asarray(out[0]), bits, vol_dev.shape[-1])
+        else:
+            labels = np.asarray(out[0])
+        return labels, (np.asarray(out[1]) if output_probs else None)
 
     # ------------------------------------------------------------------
     # One-hot vote paths (reference predictor :118-136)
@@ -369,13 +404,27 @@ class VolSeg2dPredictor:
             self._VOTE_BITS,
         )
 
+    def _merge_rotations_one_hot_trace(self, votes):
+        """Back-rotate the four rotated 3-way vote volumes, sum, and bit-pack
+        for download (counts <= 12 fit 4 bits) as ONE fused program."""
+        out = votes[0]
+        for k, oh in enumerate(votes[1:], start=1):
+            out = out + jnp.rot90(oh, -k, axes=(-3, -2))
+        return _pack_u8_trace(out, self._VOTE_BITS)
+
     def _predict_12_ways_one_hot(self, data_vol):
         vol_dev = self._to_device_u8(data_vol)
-        out = self._predict_3_ways_one_hot_device(vol_dev)
-        rotated = vol_dev
-        for k in range(1, 4):
-            logging.info(f"Rotating volume {k * 90} degrees")
-            rotated = jnp.rot90(rotated)
-            oh = self._predict_3_ways_one_hot_device(rotated)
-            out = out + jnp.rot90(oh, -k, axes=(-3, -2))
-        return self._fetch_packed(out, self._VOTE_BITS)
+        logging.info(
+            f"Predicting 12-way one-hot votes for volume "
+            f"{tuple(vol_dev.shape)}."
+        )
+        votes = self._sweep_all_rotations(
+            vol_dev, self._predict_3_ways_one_hot_device
+        )
+        fn = self._get_jitted(
+            "merge_rot_one_hot",
+            vol_dev.shape,
+            lambda *vs: self._merge_rotations_one_hot_trace(list(vs)),
+        )
+        packed = np.asarray(fn(*votes))
+        return _unpack_u8_host(packed, self._VOTE_BITS, vol_dev.shape[-1])
