@@ -8,9 +8,13 @@ Usage:
 
 Writes <out-dir>/<encoder_name>.vstpu, a msgpack blob
 {"params": ..., "batch_stats": ...} holding the encoder subtree in this
-framework's Flax naming. Supported: resnet34, resnet50, resnext50_32x4d
-(torchvision naming). Run once on a machine with the torch weights; the
-trainer then picks them up whenever `encoder_weights: imagenet` is set.
+framework's Flax naming. Supported: every encoder in the model registry —
+resnet34 / resnet50 / resnext50_32x4d (torchvision naming),
+efficientnet-b3 / efficientnet-b4 and timm-resnest50d / timm-resnest101e
+(timm naming). Run once on a machine with the torch weights; the trainer
+then picks them up whenever `encoder_weights: imagenet` is set.
+(tests/test_torch_convert.py::test_pretrained_pipeline_end_to_end drives
+this tool for all seven encoders.)
 """
 
 import argparse
