@@ -41,6 +41,33 @@ class TestClipToUint8:
         )
         assert out.dtype == np.uint8
 
+    def test_streaming_path_matches_whole_array(self, monkeypatch):
+        """The slab-streamed large-volume path (bounded memory, threaded)
+        must reproduce the whole-array formulation, including NaN
+        replacement and integer input."""
+        rng = np.random.default_rng(11)
+        vol = (rng.normal(1000.0, 150.0, (70, 60, 50))).astype(np.float32)
+        vol[3, 4, 5] = np.nan
+        vol[60, 2, 2] = np.nan
+        mean = float(np.nanmean(vol))
+        exact = utils.clip_to_uint8(vol.copy(), mean, 2.575)
+        monkeypatch.setattr(utils, "CLIP_STREAM_THRESHOLD_VOXELS", 1000)
+        monkeypatch.setattr(utils, "_CLIP_SLAB_SLICES", 16)
+        streamed = utils.clip_to_uint8(vol.copy(), mean, 2.575)
+        assert streamed.dtype == np.uint8
+        # float summation order may flip voxels exactly on a bin edge
+        diff = np.abs(streamed.astype(int) - exact.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+        ivol = (rng.normal(1000.0, 150.0, (70, 60, 50))).astype(np.int32)
+        exact_i = utils.clip_to_uint8(
+            ivol.astype(np.int32), float(ivol.mean()), 2.575
+        )
+        streamed_i = utils.clip_to_uint8(ivol, float(ivol.mean()), 2.575)
+        diff = np.abs(streamed_i.astype(int) - exact_i.astype(int))
+        assert diff.max() <= 1
+
 
 class TestDownsample:
     def test_ceil_shape(self):

@@ -255,6 +255,74 @@ def sequential_labels(unique_labels: np.ndarray) -> bool:
     return not np.where(np.diff(unique_labels) != 1)[0].size
 
 
+# Above this voxel count clip_to_uint8 switches to the slab-streamed,
+# multi-threaded path: the whole-array formulation makes ~6 full passes and
+# `astype(float)` promotes integer volumes to float64 (a 2048**3 uint16
+# volume would transiently need 68 GB). Slabs bound extra memory to
+# O(slab) and threads parallelise the memory-bound ufuncs (numpy releases
+# the GIL on large array ops).
+CLIP_STREAM_THRESHOLD_VOXELS = 512**3
+_CLIP_SLAB_SLICES = 64
+
+
+def _clip_to_uint8_streaming(
+    data: np.ndarray, data_mean: float, st_dev_factor: float
+) -> np.ndarray:
+    """Slab-streamed clip_to_uint8 for volumes too large for whole-array
+    temporaries. Two passes: (1) nan-aware sum of squared deviations for the
+    std (the same two-pass moment np.nanstd computes, accumulated in
+    float64), (2) per-slab clip/rescale straight into a preallocated uint8
+    volume. Slabs are processed by a thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    num_vox = data.size
+    slabs = [
+        slice(i, min(i + _CLIP_SLAB_SLICES, data.shape[0]))
+        for i in range(0, data.shape[0], _CLIP_SLAB_SLICES)
+    ]
+
+    def moments(sl):
+        x = data[sl].astype(np.float64, copy=False)
+        nan_mask = np.isnan(x)
+        n_nan = int(nan_mask.sum())
+        d = np.where(nan_mask, data_mean, x) - data_mean
+        return float((d * d).sum()), n_nan
+
+    with ThreadPoolExecutor() as pool:
+        results = list(pool.map(moments, slabs))
+    sq_sum = sum(r[0] for r in results)
+    n_valid = num_vox - sum(r[1] for r in results)
+    data_st_dev = float(np.sqrt(sq_sum / max(n_valid, 1)))
+
+    lower_bound = data_mean - (data_st_dev * st_dev_factor)
+    upper_bound = data_mean + (data_st_dev * st_dev_factor)
+    logging.info(f"Lower bound: {lower_bound}, upper bound: {upper_bound}")
+    scale = 255.0 / (upper_bound - lower_bound)
+    out = np.empty(data.shape, np.uint8)
+    counts = []
+
+    def convert(sl):
+        x = data[sl].astype(np.float32, copy=True)
+        gt_ub = int((x > upper_bound).sum())
+        lt_lb = int((x < lower_bound).sum())
+        np.nan_to_num(x, copy=False, nan=data_mean)
+        np.clip(x, lower_bound, upper_bound, out=x)
+        x -= lower_bound
+        x *= scale
+        out[sl] = x.astype(np.uint8)
+        return gt_ub, lt_lb
+
+    with ThreadPoolExecutor() as pool:
+        counts = list(pool.map(convert, slabs))
+    gt_ub = sum(c[0] for c in counts)
+    lt_lb = sum(c[1] for c in counts)
+    logging.info(
+        f"Voxels above upper bound: {gt_ub} ({gt_ub / num_vox * 100:.3f}%), "
+        f"below lower bound: {lt_lb} ({lt_lb / num_vox * 100:.3f}%)"
+    )
+    return out
+
+
 def clip_to_uint8(
     data: np.ndarray, data_mean: float, st_dev_factor: float
 ) -> np.ndarray:
@@ -262,8 +330,13 @@ def clip_to_uint8(
 
     Numerically mirrors reference base_data_utils.py:243-287 (nan-aware std,
     NaN replacement with the mean, float conversion for integer data).
+    Volumes above CLIP_STREAM_THRESHOLD_VOXELS take the slab-streamed
+    multi-threaded path (bounded memory; same bounds up to float summation
+    order).
     """
     logging.info("Clipping data and converting to uint8.")
+    if data.ndim == 3 and data.size > CLIP_STREAM_THRESHOLD_VOXELS:
+        return _clip_to_uint8_streaming(data, data_mean, st_dev_factor)
     data_st_dev = np.nanstd(data)
     num_vox = data.size
     lower_bound = data_mean - (data_st_dev * st_dev_factor)
