@@ -70,8 +70,18 @@ class ConvBnAct(nn.Module):
 
 
 def upsample(x: jnp.ndarray, factor: int = 2, method: str = "nearest") -> jnp.ndarray:
-    """NHWC spatial upsampling (replaces torch F.interpolate)."""
+    """NHWC spatial upsampling (replaces torch F.interpolate).
+
+    Integer-factor nearest upsampling is written as broadcast + reshape:
+    jax.image.resize lowers nearest to a gather, which measured ~100x slower
+    on TPU v5e (57 ms vs 0.5 ms for (32,256,256,16) x2) — and this op sits
+    in every U-Net/U-Net++/FPN/MA-Net decoder block."""
     n, h, w, c = x.shape
+    if method == "nearest":
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, factor, w, factor, c)
+        )
+        return x.reshape(n, h * factor, w * factor, c)
     import jax
 
     return jax.image.resize(x, (n, h * factor, w * factor, c), method=method).astype(
