@@ -13,6 +13,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,6 +91,11 @@ def shard_batch(batch, mesh: Mesh):
     Single-process: `batch` is the full global batch. Multi-process (DCN):
     `batch` is this process's LOCAL portion; the global array is assembled
     across processes without any cross-host data movement."""
+    if mesh.devices.size == 1:
+        # Plain upload: an explicit NamedSharding placement is a no-op on a
+        # 1-device mesh but takes a measurably slower path on the tunneled
+        # axon backend (see build_dp_train_step).
+        return jnp.asarray(batch)
     sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, batch)

@@ -69,6 +69,13 @@ def build_dp_train_step(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_bs, new_opt_state, loss
 
+    # On a 1-device mesh the sharding annotations are semantically a no-op
+    # but NOT free: on the tunneled axon backend they measured 2.4 s/step
+    # (no donation) and 0.44 s/step (with donation) of pure resharding
+    # overhead vs 65 ms for plain jit+donate. Real multi-chip backends
+    # treat them as free; annotate only when there is something to shard.
+    if mesh.devices.size == 1:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
     return jax.jit(
         step,
         in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, None, None),
@@ -116,6 +123,8 @@ def build_dp_eval_step(
         score = eval_fn(probs, targets, sample_weights=sample_weights)
         return loss, score
 
+    if mesh.devices.size == 1:
+        return jax.jit(step)
     return jax.jit(
         step,
         in_shardings=(r_shard, r_shard, b_shard, b_shard, None),
