@@ -91,7 +91,14 @@ def _smooth_noise_field(rng, size):
     # field comes out `factor`x stronger, so rescale to match the full-res
     # amplitude albumentations would produce.
     blurred = gaussian_blur_2d(noise, ELASTIC_SIGMA / factor) / factor
-    return jax.image.resize(blurred, (size, size), method="bilinear")
+    # Bilinear upsample as two matmuls against identity-resize weights
+    # (exact jax.image.resize semantics, constant-folded): resize's gather
+    # lowering is the slow path on TPU, and this runs per sample inside the
+    # fused train step.
+    w_up = jax.image.resize(
+        jnp.eye(small, dtype=jnp.float32), (size, small), method="bilinear"
+    )
+    return w_up @ blurred @ w_up.T
 
 
 def _elastic_coords(rng, coords, size):
