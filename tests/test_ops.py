@@ -71,3 +71,45 @@ class TestAugmentBatch:
         a1, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, 64)
         a2, _ = augment_batch(jax.random.PRNGKey(3), imgs, msks, 64)
         assert np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+class TestAugmentBatchU8:
+    def test_matches_float_path(self):
+        """The fused-gather uint8 path (one packed 4-tap gather for image +
+        mask) must reproduce the float path: identical RNG consumption ->
+        identical draws; images equal to float rounding, masks equal except
+        at exact half-pixel interpolation ties."""
+        import jax
+
+        from volume_segmantics_tpu.ops.augment import (
+            augment_batch,
+            augment_batch_u8,
+        )
+
+        rng = np.random.default_rng(4)
+        img_u8 = jnp.asarray(rng.integers(0, 256, (4, 64, 64), np.uint8))
+        msk_u8 = jnp.asarray(rng.integers(0, 3, (4, 64, 64), np.uint8))
+        key = jax.random.PRNGKey(9)
+        fi, fm = augment_batch(
+            key, img_u8.astype(jnp.float32) / 255.0, msk_u8, 64
+        )
+        ui, um = augment_batch_u8(key, img_u8, msk_u8, 64)
+        assert um.dtype == jnp.uint8
+        np.testing.assert_allclose(
+            np.asarray(ui), np.asarray(fi), atol=1e-5
+        )
+        mask_diff = (np.asarray(um) != np.asarray(fm)).mean()
+        assert mask_diff < 0.02  # only exact .5-frac rounding ties may differ
+
+    def test_determinism(self):
+        import jax
+
+        from volume_segmantics_tpu.ops.augment import augment_batch_u8
+
+        rng = np.random.default_rng(5)
+        img_u8 = jnp.asarray(rng.integers(0, 256, (2, 64, 64), np.uint8))
+        msk_u8 = jnp.asarray(rng.integers(0, 2, (2, 64, 64), np.uint8))
+        a1 = augment_batch_u8(jax.random.PRNGKey(3), img_u8, msk_u8, 64)
+        a2 = augment_batch_u8(jax.random.PRNGKey(3), img_u8, msk_u8, 64)
+        for x, y in zip(a1, a2):
+            assert np.array_equal(np.asarray(x), np.asarray(y))

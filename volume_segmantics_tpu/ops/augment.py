@@ -34,6 +34,7 @@ from volume_segmantics_tpu.ops.warp import (
     gaussian_blur_2d,
     identity_coords,
     nearest_sample,
+    warp_pair_u8,
 )
 
 # Albumentations parameters (reference data/augmentations.py:77-100)
@@ -298,6 +299,30 @@ def _augment_one(rng, img, mask, size):
     mask_out = nearest_sample(mask, coords)
     img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
     return img_out, mask_out
+
+
+def _augment_one_u8(rng, img_u8, mask_u8, size):
+    """uint8 fast path: image+mask warped with ONE packed 4-tap gather."""
+    k_geo, k_int = jax.random.split(rng)
+    coords = _geometric_coords(k_geo, size)
+    img_out, mask_out = warp_pair_u8(img_u8, mask_u8, coords)
+    img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
+    return img_out, mask_out
+
+
+@partial(jax.jit, static_argnames=("size",))
+def augment_batch_u8(rng, images_u8, masks_u8, size):
+    """Augment a uint8 batch on device (the fused train step's input form).
+
+    Same pipeline as `augment_batch` but the geometric warp gathers image
+    and mask together (packed int32, one 4-tap gather) — the random-access
+    gather is the augmentation's dominant TPU cost. Returns
+    (images float32 in [0, 1], masks uint8)."""
+    n = images_u8.shape[0]
+    keys = jax.random.split(rng, n)
+    return jax.vmap(
+        lambda k, i, m: _augment_one_u8(k, i, m, size)
+    )(keys, images_u8, masks_u8)
 
 
 @partial(jax.jit, static_argnames=("size",))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 import volume_segmantics_tpu.utils.config as cfg
-from volume_segmantics_tpu.ops.augment import augment_batch
+from volume_segmantics_tpu.ops.augment import augment_batch_u8
 from volume_segmantics_tpu.parallel.mesh import batch_sharding, replicated
 
 
@@ -40,10 +40,14 @@ def build_dp_train_step(
 
     def step(params, batch_stats, opt_state, images_u8, masks_u8, lr, rng):
         aug_rng, dropout_rng = jax.random.split(rng)
-        imgs = images_u8.astype(jnp.float32) / 255.0
-        msks = masks_u8.astype(jnp.int32)
         if augment:
-            imgs, msks = augment_batch(aug_rng, imgs, msks, image_size)
+            imgs, msks = augment_batch_u8(
+                aug_rng, images_u8, masks_u8, image_size
+            )
+            msks = msks.astype(jnp.int32)
+        else:
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            msks = masks_u8.astype(jnp.int32)
         x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
         targets = jnp.transpose(
             jax.nn.one_hot(msks, num_labels, dtype=jnp.float32), (0, 3, 1, 2)
