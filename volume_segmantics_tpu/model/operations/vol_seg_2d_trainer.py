@@ -38,7 +38,10 @@ from tqdm import tqdm
 
 import volume_segmantics_tpu.utils.base_data_utils as utils
 import volume_segmantics_tpu.utils.config as cfg
-from volume_segmantics_tpu.data.dataloaders import get_2d_training_dataloaders
+from volume_segmantics_tpu.data.dataloaders import (
+    PrefetchToDevice,
+    get_2d_training_dataloaders,
+)
 from volume_segmantics_tpu.data.losses import get_loss_fn
 from volume_segmantics_tpu.data.metrics import get_eval_metric_fn
 from volume_segmantics_tpu.model.model_2d import ModelBundle, create_model_on_device
@@ -327,7 +330,7 @@ class VolSeg2dTrainer:
             tic = time.perf_counter()
             logging.info(f"Epoch {epoch} of {num_epochs}")
             for images, masks, _ in tqdm(
-                self.training_loader,
+                PrefetchToDevice(self.training_loader, self._shard),
                 desc="Training batch",
                 bar_format=cfg.TQDM_BAR_FORMAT,
             ):
@@ -338,7 +341,7 @@ class VolSeg2dTrainer:
 
             valid_weights = []
             for images, masks, n_valid in tqdm(
-                self.validation_loader,
+                PrefetchToDevice(self.validation_loader, self._shard),
                 desc="Validation batch",
                 bar_format=cfg.TQDM_BAR_FORMAT,
             ):
@@ -461,6 +464,10 @@ class VolSeg2dTrainer:
         return extra
 
     def _shard(self, batch):
+        import jax
+
+        if isinstance(batch, jax.Array):  # already placed (prefetcher)
+            return batch
         from volume_segmantics_tpu.parallel.mesh import shard_batch
 
         return shard_batch(np.ascontiguousarray(batch), self.mesh)
@@ -552,7 +559,7 @@ class VolSeg2dTrainer:
             if stop:
                 break
             for images, masks, _ in tqdm(
-                self.training_loader,
+                PrefetchToDevice(self.training_loader, self._shard),
                 desc=f"Epoch {i + 1}, batch number",
                 bar_format=cfg.TQDM_BAR_FORMAT,
             ):
