@@ -51,3 +51,50 @@ def test_prediction_dataloader(prediction_settings):
     batches = list(loader)
     assert sum(n for _, n in batches) == 5
     assert all(b.shape[0] == loader.batch_size for b, _ in batches)
+
+
+def test_prefetch_to_device_order_and_len():
+    from volume_segmantics_tpu.data.dataloaders import PrefetchToDevice
+
+    batches = [(np.full((2, 4), i), np.full((2, 4), -i), 2) for i in range(7)]
+
+    class Loader:
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    placed = []
+    pf = PrefetchToDevice(Loader(), lambda a: (placed.append(a.sum()), a)[1])
+    out = list(pf)
+    assert len(pf) == 7
+    assert [int(o[0][0, 0]) for o in out] == list(range(7))
+    assert [int(o[1][0, 0]) for o in out] == [0, -1, -2, -3, -4, -5, -6]
+    assert len(placed) == 14  # place_fn ran for every array
+
+
+def test_prefetch_to_device_propagates_exceptions():
+    from volume_segmantics_tpu.data.dataloaders import PrefetchToDevice
+
+    class Boom(Exception):
+        pass
+
+    def gen():
+        yield (np.zeros((1,)), np.zeros((1,)), 1)
+        raise Boom("loader died")
+
+    class Loader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            return gen()
+
+    pf = PrefetchToDevice(Loader(), lambda a: a)
+    it = iter(pf)
+    next(it)
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        next(it)
