@@ -113,3 +113,35 @@ class TestAugmentBatchU8:
         a2 = augment_batch_u8(jax.random.PRNGKey(3), img_u8, msk_u8, 64)
         for x, y in zip(a1, a2):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestUpsampleEquivalence:
+    def test_nearest_broadcast_matches_resize(self):
+        """The broadcast+reshape nearest upsample (models/layers.py) must
+        stay bit-identical to jax.image.resize's nearest semantics."""
+        import jax
+
+        from volume_segmantics_tpu.models.layers import upsample
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(2, 7, 9, 3)).astype(np.float32))
+        for factor in (2, 3):
+            ours = np.asarray(upsample(x, factor, "nearest"))
+            ref = np.asarray(
+                jax.image.resize(
+                    x, (2, 7 * factor, 9 * factor, 3), method="nearest"
+                )
+            )
+            assert np.array_equal(ours, ref)
+
+    def test_bilinear_matmul_matches_resize(self):
+        """resize_to's identity-weights matmul path == jax.image.resize."""
+        import jax
+
+        from volume_segmantics_tpu.models.layers import resize_to
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 13, 17, 2)).astype(np.float32))
+        ours = np.asarray(resize_to(x, 52, 68, "bilinear"))
+        ref = np.asarray(jax.image.resize(x, (1, 52, 68, 2), method="bilinear"))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
