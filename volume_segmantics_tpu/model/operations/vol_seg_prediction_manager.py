@@ -37,6 +37,11 @@ class VolSeg2DPredictionManager(BaseDataManager):
     # Volumes larger than this stream through slabs + host memmaps instead
     # of living wholly in HBM (override with settings.streaming_threshold).
     STREAMING_THRESHOLD_VOXELS = 1024**3
+    # The in-memory 12-way path keeps all four rotations' (labels, probs)
+    # pairs live as inputs to the fused merge program (~14 bytes/voxel peak
+    # incl. outputs), so HIGH quality and one-hot voting stream earlier to
+    # stay within a 16 GB chip's HBM with margin.
+    HIGH_STREAMING_THRESHOLD_VOXELS = 600 * 1024**2
 
     def predict_volume_to_path(
         self,
@@ -52,10 +57,13 @@ class VolSeg2DPredictionManager(BaseDataManager):
         preferred_axis = utils.get_prediction_axis(self.settings)
         if quality is None:
             quality = utils.get_prediction_quality(self.settings)
+        default_threshold = (
+            self.HIGH_STREAMING_THRESHOLD_VOXELS
+            if quality == utils.Quality.HIGH or one_hot
+            else self.STREAMING_THRESHOLD_VOXELS
+        )
         threshold = int(
-            getattr(
-                self.settings, "streaming_threshold", self.STREAMING_THRESHOLD_VOXELS
-            )
+            getattr(self.settings, "streaming_threshold", default_threshold)
         )
         if self.data_vol.size > threshold:
             import logging
