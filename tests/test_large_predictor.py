@@ -129,3 +129,26 @@ def test_manager_streams_high_and_one_hot(model_path, prediction_settings, tmp_p
     assert streamed_oh.ndim == 4
     assert np.array_equal(np.asarray(streamed_oh), np.asarray(base_oh))
     assert out.exists()
+
+
+@pytest.mark.slow
+def test_streaming_from_lazy_hdf5_dataset(predictor, tmp_path):
+    """LOW/MEDIUM streaming reads input slabs with basic slicing only, so an
+    h5py Dataset (never loaded into RAM) must produce identical results to
+    the ndarray path — the beyond-host-RAM prediction capability."""
+    vol = np.random.default_rng(3).integers(0, 255, (12, 34, 21)).astype(np.uint8)
+    src = tmp_path / "lazy.h5"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("/data", data=vol, chunks=(4, 34, 21))
+
+    large = VolSegLargeVolPredictor(predictor, workdir=tmp_path / "w1",
+                                    slab_size=5)
+    mem_labels, mem_probs = large.predict_3_ways(vol, prefix="mem_")
+
+    with h5py.File(src, "r") as f:
+        dset = f["/data"]
+        large2 = VolSegLargeVolPredictor(predictor, workdir=tmp_path / "w2",
+                                         slab_size=5)
+        lazy_labels, lazy_probs = large2.predict_3_ways(dset, prefix="lazy_")
+        assert np.array_equal(np.asarray(lazy_labels), np.asarray(mem_labels))
+        assert np.array_equal(np.asarray(lazy_probs), np.asarray(mem_probs))

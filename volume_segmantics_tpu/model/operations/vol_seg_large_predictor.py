@@ -29,6 +29,12 @@ from volume_segmantics_tpu.utils.base_data_utils import Axis, Quality
 class VolSegLargeVolPredictor:
     """Slab-streamed single/3-axis prediction with host-memmap accumulation.
 
+    The single-axis and 3-axis paths read input slabs with basic slicing
+    only, so `data_vol` may be a numpy array, a memmap, or an h5py Dataset
+    — volumes larger than host RAM stream straight from disk. The 12-way
+    paths additionally take np.rot90 views of the input and therefore need
+    an in-RAM array or memmap.
+
     Args:
         predictor: a VolSeg2dPredictor (its compiled sweeps are reused).
         workdir: directory for the output memmaps (defaults to a tempdir).
@@ -52,13 +58,25 @@ class VolSegLargeVolPredictor:
             self.workdir / f"{name}.npy", mode="w+", shape=tuple(shape), dtype=dtype
         )
 
+    @staticmethod
+    def _read_axis_slab(vol, axis, start, stop) -> np.ndarray:
+        """Slices [start, stop) along `axis`, returned in the rotated
+        orientation (slice index leading). Only basic slicing is used, so
+        `vol` may be a numpy array, a memmap, or an h5py Dataset — the
+        streaming sweeps never need the whole volume in RAM."""
+        if axis == Axis.Z:
+            return np.asarray(vol[start:stop])
+        if axis == Axis.Y:
+            return np.asarray(vol[:, start:stop]).swapaxes(0, 1)
+        return np.asarray(vol[:, :, start:stop]).swapaxes(0, 2)
+
     def _predict_axis_streaming(self, data_vol, axis, labels_out, probs_out):
         """Sweep one axis in slabs. `labels_out`/`probs_out` are (D, H, W)
         arrays in the ROTATED orientation of `axis` (caller handles the
         inverse rotation via index mapping). `probs_out` may be None when
-        only labels are needed (one-hot voting)."""
-        rotated = utils.rotate_array_to_axis(data_vol, axis)
-        n = rotated.shape[0]
+        only labels are needed (one-hot voting). `data_vol` may be any
+        basic-sliceable 3-D source (ndarray / memmap / h5py Dataset)."""
+        n = data_vol.shape[axis.value]
         slab = self.slab_size
         # 1-deep software pipeline: dispatch slab k (upload + sweep, all
         # async), then drain slab k-1's results to the host memmaps. The
@@ -69,7 +87,11 @@ class VolSegLargeVolPredictor:
         pending = None
         for start in range(0, n, slab):
             stop = min(start + slab, n)
-            chunk_dev = jnp.asarray(np.ascontiguousarray(rotated[start:stop]))
+            chunk_dev = jnp.asarray(
+                np.ascontiguousarray(
+                    self._read_axis_slab(data_vol, axis, start, stop)
+                )
+            )
             labels_d, probs_d = self.predictor._sweep_axis_device(
                 chunk_dev, Axis.Z
             )
