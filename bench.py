@@ -83,7 +83,8 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
     bundle = create_model_on_device(0, struc, dtype=jnp.bfloat16)
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
-    tx = optax.adamw(1.0, weight_decay=0.01)
+    from volume_segmantics_tpu.parallel.train import make_base_optimizer
+    tx = make_base_optimizer(weight_decay=0.01)
     mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
     opt_state = tx.init(bundle.params)
     mesh = get_mesh()

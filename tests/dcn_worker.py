@@ -44,7 +44,8 @@ def main():
     bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(0))
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
-    tx = optax.adamw(1.0, weight_decay=0.01)
+    from volume_segmantics_tpu.parallel.train import make_base_optimizer
+    tx = make_base_optimizer(weight_decay=0.01)
     mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
     step = build_dp_train_step(
         bundle.module, loss_fn, tx, mask, num_labels=2, image_size=32,
@@ -70,6 +71,47 @@ def main():
             jax.random.PRNGKey(i),
         )
     print(f"FINAL_LOSS={float(loss):.8f}")
+
+    # ---- Multi-host prediction phase (SURVEY §7 stage 9) ----
+    # Each process feeds its local slice block; per-host partial HDF5
+    # writes must stitch to the single-process sweep result.
+    if len(sys.argv) > 1:
+        import tempfile
+        from pathlib import Path
+        from types import SimpleNamespace as NS
+
+        from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+            VolSeg2dPredictor,
+        )
+        from volume_segmantics_tpu.models.checkpoint import save_checkpoint
+        from volume_segmantics_tpu.parallel.multihost_predict import (
+            local_slice_range,
+            predict_local_block_to_hdf5,
+        )
+
+        out_dir = Path(sys.argv[1])
+        # Fresh SEEDED model (identical on every process and in the
+        # single-process ground-truth run).
+        pred_bundle = create_model_on_device(
+            0, struc, rng=jax.random.PRNGKey(42)
+        )
+        with tempfile.TemporaryDirectory() as td:
+            ckpt = Path(td) / f"m{jax.process_index()}.pytorch"
+            save_checkpoint(ckpt, pred_bundle.variables, struc, label_codes={})
+            pset = NS(
+                clip_data=False, st_dev_factor=2.575, downsample=False,
+                data_hdf5_path="/data", cuda_device=0, one_hot=False,
+                output_probs=False, prediction_batch_size=4,
+                compute_dtype="float32",
+            )
+            predictor = VolSeg2dPredictor(ckpt, pset)
+            vol = np.random.default_rng(7).integers(
+                0, 255, (8, 32, 32)).astype(np.uint8)
+            start, stop = local_slice_range(vol.shape[0])
+            part = predict_local_block_to_hdf5(
+                predictor, vol[start:stop], out_dir / "mh_pred"
+            )
+            print(f"PRED_PART={part}")
 
 
 if __name__ == "__main__":

@@ -80,18 +80,62 @@ def test_two_process_dcn_training(tmp_path):
             PYTHONPATH=str(Path(__file__).parent.parent),
         )
         procs.append(subprocess.Popen(
-            [sys.executable, str(Path(__file__).parent / "dcn_worker.py")],
+            [sys.executable, str(Path(__file__).parent / "dcn_worker.py"),
+             str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
     outs = [p.communicate(timeout=900) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
     losses = []
+    part_paths = []
     for out, _ in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("FINAL_LOSS=")]
         assert line, out
         losses.append(float(line[0].split("=")[1]))
+        pline = [ln for ln in out.splitlines() if ln.startswith("PRED_PART=")]
+        assert pline, out
+        part_paths.append(Path(pline[0].split("=", 1)[1]))
     assert np.isclose(losses[0], losses[1], rtol=1e-6)
+
+    # ---- Multi-host prediction: per-host partial writes stitch to the
+    # single-process sweep result (VERDICT r2 #6 / SURVEY §7 stage 9) ----
+    from volume_segmantics_tpu.parallel.multihost_predict import (
+        stitch_partial_predictions,
+    )
+
+    assert len(part_paths) == 2 and all(p.exists() for p in part_paths)
+    stitched = stitch_partial_predictions(part_paths)
+
+    # Single-process ground truth with the same seeded model/volume.
+    import tempfile
+    from types import SimpleNamespace as NS
+
+    import jax as _jax
+
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+        VolSeg2dPredictor,
+    )
+    from volume_segmantics_tpu.models.checkpoint import save_checkpoint
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {"type": ModelType.U_NET, "encoder_name": "resnet34",
+             "encoder_weights": None, "in_channels": 1, "classes": 2}
+    bundle = create_model_on_device(0, struc, rng=_jax.random.PRNGKey(42))
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = Path(td) / "m.pytorch"
+        save_checkpoint(ckpt, bundle.variables, struc, label_codes={})
+        pset = NS(clip_data=False, st_dev_factor=2.575, downsample=False,
+                  data_hdf5_path="/data", cuda_device=0, one_hot=False,
+                  output_probs=False, prediction_batch_size=4,
+                  compute_dtype="float32", data_parallel=False)
+        predictor = VolSeg2dPredictor(ckpt, pset)
+        vol = np.random.default_rng(7).integers(0, 255, (8, 32, 32)).astype(
+            np.uint8)
+        expected, _ = predictor._predict_single_axis(vol)
+    assert stitched.shape == expected.shape
+    assert np.array_equal(stitched, expected)
 
     # Single-process ground truth on a 4-device mesh with the same data.
     import jax
@@ -109,7 +153,8 @@ def test_two_process_dcn_training(tmp_path):
     bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(0))
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
-    tx = optax.adamw(1.0, weight_decay=0.01)
+    from volume_segmantics_tpu.parallel.train import make_base_optimizer
+    tx = make_base_optimizer(weight_decay=0.01)
     mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
     mesh4 = get_mesh(4)
     step = build_dp_train_step(
@@ -130,3 +175,67 @@ def test_two_process_dcn_training(tmp_path):
     # single-process program, so allow small float drift after 3 optimizer
     # steps (the two workers must still agree exactly, asserted above).
     assert np.isclose(float(loss), losses[0], rtol=2e-3), (float(loss), losses)
+
+
+def test_make_base_optimizer_sign_convention():
+    """The base transform must map positive gradients to positive updates
+    (the DP step applies -lr itself). optax.adamw, which bakes in the
+    descent sign, must be rejected at build time (VERDICT r2 weak #2)."""
+    import jax.numpy as jnp
+    import optax
+
+    from volume_segmantics_tpu.parallel.train import (
+        _check_tx_sign_convention,
+        make_base_optimizer,
+    )
+
+    tx = make_base_optimizer(0.01)
+    params = {"w": jnp.ones(())}
+    updates, _ = tx.update({"w": jnp.ones(())}, tx.init(params), params)
+    assert float(updates["w"]) > 0
+    _check_tx_sign_convention(tx)  # must not raise
+    with pytest.raises(ValueError):
+        _check_tx_sign_convention(optax.adamw(1.0, weight_decay=0.01))
+
+
+def test_dp_train_step_descends_with_public_chain():
+    """Loss must DECREASE over a few steps with the trainer's public
+    optimizer chain (guards against the ascent bug a sign-flipped tx would
+    cause)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from volume_segmantics_tpu.data.losses import get_loss_fn
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.parallel.train import (
+        build_dp_train_step,
+        make_base_optimizer,
+    )
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {"type": ModelType.U_NET, "encoder_name": "resnet34",
+             "encoder_weights": None, "in_channels": 1, "classes": 2}
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(0))
+    loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
+                                          alpha=0.75, beta=0.25))
+    tx = make_base_optimizer(0.01)
+    mesh = get_mesh()
+    step = build_dp_train_step(
+        bundle.module, loss_fn, tx, None, num_labels=2, image_size=32,
+        mesh=mesh, compute_dtype=jnp.float32, augment=False,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (8, 32, 32), dtype=np.uint8)
+    # Learnable mapping: mask = bright pixels
+    masks = (images > 127).astype(np.uint8)
+    params = replicate(bundle.params, mesh)
+    bs_ = replicate(bundle.batch_stats, mesh)
+    opt = replicate(tx.init(bundle.params), mesh)
+    losses = []
+    for i in range(4):
+        params, bs_, opt, loss = step(
+            params, bs_, opt, shard_batch(images, mesh),
+            shard_batch(masks, mesh), 1e-3, jax.random.PRNGKey(i),
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

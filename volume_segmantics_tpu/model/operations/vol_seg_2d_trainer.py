@@ -175,10 +175,9 @@ class VolSeg2dTrainer:
                 "VOLSEG_TPU_WEIGHTS_DIR, or set num_cyc_frozen: 0 and train "
                 "unfrozen."
             )
-        self._tx = optax.chain(
-            optax.scale_by_adam(),
-            optax.add_decayed_weights(self._weight_decay),
-        )
+        from volume_segmantics_tpu.parallel.train import make_base_optimizer
+
+        self._tx = make_base_optimizer(self._weight_decay)
         self.opt_state = self._tx.init(self.bundle.params)
         self._frozen = frozen
         self._build_steps(frozen)

@@ -19,21 +19,68 @@ from volume_segmantics_tpu.ops.augment import augment_batch_u8
 from volume_segmantics_tpu.parallel.mesh import batch_sharding, replicated
 
 
+def make_base_optimizer(weight_decay: float = 0.01):
+    """The framework's base AdamW gradient transform, WITHOUT learning-rate
+    or sign scaling: `build_dp_train_step` applies `-lr * update` itself so
+    the per-step `lr` argument can follow a Python-side schedule (OneCycle,
+    LR finder sweep) without retracing. Every caller of
+    `build_dp_train_step` must use this (or a transform with the same
+    positive-update convention) — `optax.adamw(...)` includes
+    `scale_by_learning_rate` (a sign flip) and is therefore wrong here;
+    the builder probes for that mistake at construction time."""
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(weight_decay),
+    )
+
+
+def _check_tx_sign_convention(tx):
+    """Best-effort probe that `tx` does NOT include learning-rate/sign
+    scaling (see make_base_optimizer). A transform like `optax.adamw(1.0)`
+    maps a positive gradient to a NEGATIVE update (descent direction
+    pre-applied); the train step then applies `-lr`, which would ASCEND.
+    The probe runs the transform on a scalar tree; exotic transforms that
+    cannot handle that are skipped rather than rejected."""
+    try:
+        params = {"w": jnp.ones(())}
+        grads = {"w": jnp.ones(())}
+        updates, _ = tx.update(grads, tx.init(params), params)
+        update_sign = float(updates["w"])
+    except Exception:
+        return
+    if update_sign < 0:
+        raise ValueError(
+            "build_dp_train_step received an optimizer whose updates point "
+            "in the DESCENT direction (e.g. optax.adamw, which includes "
+            "scale_by_learning_rate). The train step applies -lr itself; "
+            "pass a base transform such as "
+            "volume_segmantics_tpu.parallel.train.make_base_optimizer()."
+        )
+
+
 def build_dp_train_step(
     module,
     loss_fn: Callable,
-    tx,
-    mask_tree,
-    num_labels: int,
-    image_size: int,
-    mesh,
+    tx=None,
+    mask_tree=None,
+    num_labels: int = 2,
+    image_size: int = 256,
+    mesh=None,
     compute_dtype=jnp.bfloat16,
     augment: bool = True,
+    weight_decay: float = 0.01,
 ):
     """Returns a jitted data-parallel train step:
     (params, batch_stats, opt_state, images_u8, masks_u8, lr, rng) ->
     (params, batch_stats, opt_state, loss).
+
+    `tx` defaults to `make_base_optimizer(weight_decay)` and must follow its
+    positive-update convention (no lr/sign scaling inside the transform);
+    `mask_tree` defaults to all-ones (train everything).
     """
+    if tx is None:
+        tx = make_base_optimizer(weight_decay)
+    _check_tx_sign_convention(tx)
     mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
@@ -67,9 +114,15 @@ def build_dp_train_step(
         (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             params
         )
-        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
+        if mask_tree is not None:
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
         updates, new_opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u, m: -lr * u * m, updates, mask_tree)
+        if mask_tree is not None:
+            updates = jax.tree_util.tree_map(
+                lambda u, m: -lr * u * m, updates, mask_tree
+            )
+        else:
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_bs, new_opt_state, loss
 

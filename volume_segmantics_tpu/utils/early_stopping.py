@@ -1,9 +1,10 @@
-"""Early stopping with best-on-validation checkpointing.
+"""Early stopping on validation loss, with best-model checkpointing.
 
-Parity with reference volume_segmantics/utilities/early_stopping.py:7-63:
-patience counter on validation loss; on improvement, saves a self-describing
-checkpoint dict {model_state_dict, model_struc_dict, optimizer_state_dict,
-loss_val, label_codes} (written as msgpack instead of torch.save).
+Semantics match reference volume_segmantics/utilities/early_stopping.py:7-63
+(patience counter on validation loss; checkpoint snapshot on improvement;
+resumable ``best_score`` for two-phase training), but the implementation is
+structured around an explicit improvement predicate and delegates all
+serialisation to models/checkpoint.py (msgpack, torch-exportable).
 """
 
 import logging
@@ -14,7 +15,8 @@ from volume_segmantics_tpu.models.checkpoint import save_checkpoint
 
 
 class EarlyStopping:
-    """Stops training when validation loss stops improving."""
+    """Tracks validation loss across epochs; snapshots the best model and
+    flags ``early_stop`` after ``patience`` epochs without improvement."""
 
     def __init__(
         self,
@@ -27,35 +29,39 @@ class EarlyStopping:
     ):
         self.patience = patience
         self.verbose = verbose
-        self.counter = 0
-        self.best_score = best_score
-        self.val_loss_min = np.inf if best_score is None else best_score * -1
-        self.early_stop = False
         self.delta = delta
         self.path = path
         self.model_struc_dict = model_dict or {}
+        self.counter = 0
+        self.early_stop = False
+        # Scores are negated losses; `best_score` may be seeded from a prior
+        # phase's checkpoint so phase-2 patience resumes against it.
+        self.best_score = best_score
+        self.val_loss_min = np.inf if best_score is None else -best_score
+
+    def _improved(self, score) -> bool:
+        """An epoch improves when its score reaches best + delta (ties at
+        delta=0 count as improvement, matching the reference's strict-`<`
+        stagnation test)."""
+        return self.best_score is None or score >= self.best_score + self.delta
 
     def __call__(self, val_loss, trainer, optimizer, label_codes):
         """`trainer` exposes `.bundle.variables` and `.opt_state` (the
         functional analogue of the reference's (model, optimizer) pair)."""
         score = -val_loss
-        if self.best_score is None:
-            self.best_score = score
-            self.save_checkpoint(val_loss, trainer, optimizer, label_codes)
-        elif score < self.best_score + self.delta:
+        if not self._improved(score):
             self.counter += 1
             logging.info(
                 f"EarlyStopping counter: {self.counter} out of {self.patience}"
             )
-            if self.counter >= self.patience:
-                self.early_stop = True
-        else:
-            self.best_score = score
-            self.save_checkpoint(val_loss, trainer, optimizer, label_codes)
-            self.counter = 0
+            self.early_stop = self.counter >= self.patience
+            return
+        self.counter = 0
+        self.best_score = score
+        self.save_checkpoint(val_loss, trainer, optimizer, label_codes)
 
     def save_checkpoint(self, val_loss, trainer, optimizer, label_codes):
-        """Saves model when validation loss decreases."""
+        """Snapshot the current model as the new best."""
         if self.verbose:
             logging.info(
                 f"Validation loss decreased ({self.val_loss_min:.6f} --> "
