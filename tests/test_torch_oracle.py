@@ -1,0 +1,146 @@
+"""Cross-framework voxel-parity oracle.
+
+Loads ONE set of weights into (a) our Flax model and (b) an independent
+pure-torch functional implementation of the smp architecture the reference
+uses (tests/torch_oracle.py), runs the same normalised slice batch through
+both, and requires logits to agree to float tolerance and argmax labels to
+agree wherever the decision margin is non-trivial. This closes
+BASELINE.json's "voxel-for-voxel within argmax ties" parity claim with an
+executable proof (reference model/model_2d.py:15-38 architecture dispatch;
+vol_seg_2d_predictor.py:40-58 inference numerics).
+
+BatchNorm running statistics and affine parameters are randomised first so
+the comparison exercises BN eval numerics (eps placement, var handling) —
+fresh-init BN (mean 0 / var 1 / scale 1 / bias 0) is an identity and would
+hide such bugs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import volume_segmantics_tpu.utils.config as cfg
+from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+
+def _randomize_norm_layers(params, stats, seed):
+    rng = np.random.default_rng(seed)
+
+    def walk_params(t):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                if k.startswith("bn") and "scale" in v and "bias" in v:
+                    v["scale"] = rng.uniform(
+                        0.5, 1.5, np.shape(v["scale"])
+                    ).astype(np.float32)
+                    v["bias"] = rng.normal(
+                        0.0, 0.2, np.shape(v["bias"])
+                    ).astype(np.float32)
+                else:
+                    walk_params(v)
+
+    def walk_stats(t):
+        for v in t.values():
+            if isinstance(v, dict):
+                if "mean" in v and "var" in v:
+                    v["mean"] = rng.normal(
+                        0.0, 0.5, np.shape(v["mean"])
+                    ).astype(np.float32)
+                    v["var"] = rng.uniform(
+                        0.5, 1.5, np.shape(v["var"])
+                    ).astype(np.float32)
+                else:
+                    walk_stats(v)
+
+    walk_params(params)
+    walk_stats(stats)
+
+
+CASES = [
+    (ModelType.U_NET, "resnet34"),
+    (ModelType.U_NET, "resnet50"),
+    (ModelType.DEEPLABV3, "resnet34"),
+    (ModelType.DEEPLABV3_PLUS, "resnet34"),
+    (ModelType.DEEPLABV3_PLUS, "resnet50"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_type,encoder_name", CASES,
+                         ids=[f"{m.name}-{e}" for m, e in CASES])
+def test_flax_matches_pure_torch_oracle(model_type, encoder_name):
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    import torch_oracle as oracle
+    from test_torch_convert import (
+        _DECODER_INVERSES,
+        _inverse_conv,
+        _inverse_resnet_encoder,
+    )
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+
+    struc = {
+        "type": model_type,
+        "encoder_name": encoder_name,
+        "encoder_weights": None,
+        "in_channels": 1,
+        "classes": 3,
+    }
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(11))
+    params = jax.tree_util.tree_map(
+        np.asarray, serialization.to_state_dict(bundle.variables["params"])
+    )
+    stats = jax.tree_util.tree_map(
+        np.asarray,
+        serialization.to_state_dict(bundle.variables.get("batch_stats", {})),
+    )
+    _randomize_norm_layers(params, stats, seed=3)
+
+    # Shared weights: invert our tree into an smp-named torch state dict.
+    sd = {}
+    _inverse_resnet_encoder(sd, params["encoder"], stats["encoder"])
+    _DECODER_INVERSES[model_type](sd, params["decoder"], stats.get("decoder", {}))
+    _inverse_conv(sd, "segmentation_head.0", params["head_conv"]["kernel"],
+                  params["head_conv"]["bias"])
+
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 64, 64), dtype=np.uint8)
+    x = (u8.astype(np.float32) / 255.0 - cfg.IMAGENET_MEAN) / cfg.IMAGENET_STD
+
+    oracles = {
+        ModelType.U_NET: oracle.smp_unet_forward,
+        ModelType.DEEPLABV3: oracle.smp_deeplabv3_forward,
+        ModelType.DEEPLABV3_PLUS: oracle.smp_deeplabv3plus_forward,
+    }
+    with torch.no_grad():
+        ref = oracles[model_type](
+            torch.tensor(x[:, None]), sd,
+            bottleneck=(encoder_name != "resnet34"),
+        ).numpy()
+
+    variables = serialization.from_state_dict(
+        bundle.variables, {"params": params, "batch_stats": stats}
+    )
+    logits = bundle.module.apply(variables, jnp.asarray(x)[..., None],
+                                 train=False)
+    got = np.transpose(np.asarray(logits), (0, 3, 1, 2))
+
+    assert got.shape == ref.shape
+    scale = max(1.0, float(np.max(np.abs(ref))))
+    max_err = float(np.max(np.abs(got - ref)))
+    assert max_err <= 1e-3 * scale, (
+        f"logits diverge: max|diff|={max_err:.3e} vs ref scale {scale:.3e}"
+    )
+
+    # Argmax labels must agree wherever the top-2 margin is non-trivial
+    # ("voxel-for-voxel within argmax ties").
+    srt = np.sort(ref, axis=1)
+    margin = srt[:, -1] - srt[:, -2]
+    decided = margin > 4e-3 * scale
+    agree = np.argmax(got, axis=1) == np.argmax(ref, axis=1)
+    assert np.all(agree[decided]), (
+        f"{np.sum(~agree[decided])} decided voxels changed label"
+    )

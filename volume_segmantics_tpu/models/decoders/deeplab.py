@@ -127,7 +127,10 @@ class DeepLabV3PlusDecoder(nn.Module):
             x, train
         )
         high = features[-4]  # stride 4
-        x = resize_to(x, high.shape[1], high.shape[2], "bilinear")
+        # smp uses nn.UpsamplingBilinear2d(scale_factor=4) here, i.e.
+        # align_corners=True (pinned by tests/test_torch_oracle.py).
+        x = resize_to(x, high.shape[1], high.shape[2], "bilinear",
+                      align_corners=True)
         high = ConvBnAct(
             self.highres_channels, (1, 1), padding=[(0, 0), (0, 0)],
             dtype=self.dtype, name="convbn_highres",

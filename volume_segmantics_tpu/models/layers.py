@@ -193,28 +193,57 @@ def upsample(x: jnp.ndarray, factor: int = 2, method: str = "nearest") -> jnp.nd
     )
 
 
-def resize_to(x: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear") -> jnp.ndarray:
+def _align_corners_matrix(out_len: int, in_len: int) -> jnp.ndarray:
+    """(out_len, in_len) interpolation weights for torch's
+    align_corners=True bilinear mapping (src = i * (in-1)/(out-1))."""
+    if in_len == 1:
+        return jnp.ones((out_len, 1), jnp.float32)
+    src = jnp.arange(out_len, dtype=jnp.float32) * (in_len - 1) / (out_len - 1)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_len - 2)
+    frac = src - i0
+    w = jnp.zeros((out_len, in_len), jnp.float32)
+    w = w.at[jnp.arange(out_len), i0].add(1.0 - frac)
+    w = w.at[jnp.arange(out_len), i0 + 1].add(frac)
+    return w
+
+
+def resize_to(
+    x: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
     """Resize NHWC tensor to an explicit spatial shape.
 
     Bilinear upsampling is expressed as two small dense matmuls
     (out = W_h @ x @ W_w^T per image/channel) instead of jax.image.resize's
     gather lowering — the same ~100x TPU win as the nearest-upsample
-    broadcast trick, riding the MXU. The weight matrices are built by
-    resizing identity matrices through jax.image.resize itself, so the
-    interpolation semantics (half-pixel mapping, edge normalisation) are
-    exactly jax.image.resize's; they are shape-static constants folded at
-    compile time. Used by the FPN/DeepLabV3/V3+ heads to reach full
-    resolution (registry.py:107-115)."""
+    broadcast trick, riding the MXU. With align_corners=False the weight
+    matrices are built by resizing identity matrices through
+    jax.image.resize itself (half-pixel mapping); with align_corners=True
+    they follow torch's nn.UpsamplingBilinear2d mapping — the convention
+    smp's SegmentationHead and DeepLabV3+ decoder use, which the parity
+    oracle (tests/test_torch_oracle.py) pins. Either way the matrices are
+    shape-static constants folded at compile time. Used by the
+    FPN/DeepLabV3/V3+ heads to reach full resolution (registry.py:107-115).
+    """
     import jax
 
     n, in_h, in_w, c = x.shape
     if method == "bilinear" and out_h >= in_h and out_w >= in_w:
-        w_h = jax.image.resize(
-            jnp.eye(in_h, dtype=jnp.float32), (out_h, in_h), method="bilinear"
-        )
-        w_w = jax.image.resize(
-            jnp.eye(in_w, dtype=jnp.float32), (out_w, in_w), method="bilinear"
-        )
+        if align_corners:
+            w_h = _align_corners_matrix(out_h, in_h)
+            w_w = _align_corners_matrix(out_w, in_w)
+        else:
+            w_h = jax.image.resize(
+                jnp.eye(in_h, dtype=jnp.float32), (out_h, in_h),
+                method="bilinear"
+            )
+            w_w = jax.image.resize(
+                jnp.eye(in_w, dtype=jnp.float32), (out_w, in_w),
+                method="bilinear"
+            )
         y = jnp.einsum(
             "nhwc,Hh->nHwc", x, w_h.astype(x.dtype),
             preferred_element_type=jnp.float32,

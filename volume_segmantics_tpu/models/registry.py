@@ -104,11 +104,14 @@ class SegmentationModel(nn.Module):
             name="head_conv",
         )(decoded)
         if self.head_upsampling > 1:
+            # smp's SegmentationHead upsamples with nn.UpsamplingBilinear2d,
+            # i.e. align_corners=True (pinned by tests/test_torch_oracle.py).
             logits = resize_to(
                 logits,
                 decoded.shape[1] * self.head_upsampling,
                 decoded.shape[2] * self.head_upsampling,
                 "bilinear",
+                align_corners=True,
             )
         # Guard: decoders whose output stride != 1 return logits at input res.
         if logits.shape[1] != in_h or logits.shape[2] != in_w:
