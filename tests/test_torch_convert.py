@@ -145,90 +145,20 @@ def test_pretrained_encoder_cache(tmp_path, monkeypatch):
     assert np.allclose(got, expected, atol=1e-6)
 
 
-def _inverse_convbn(sd, tree, stats, t_conv, t_bn):
-    sd[f"{t_conv}.weight"] = np.transpose(np.asarray(tree["conv"]["kernel"]), (3, 2, 0, 1))
-    sd[f"{t_bn}.weight"] = np.asarray(tree["bn"]["scale"])
-    sd[f"{t_bn}.bias"] = np.asarray(tree["bn"]["bias"])
-    sd[f"{t_bn}.running_mean"] = np.asarray(stats["bn"]["mean"])
-    sd[f"{t_bn}.running_var"] = np.asarray(stats["bn"]["var"])
-
-
-def _inverse_conv(sd, name, kernel, bias=None):
-    sd[f"{name}.weight"] = np.transpose(np.asarray(kernel), (3, 2, 0, 1))
-    if bias is not None:
-        sd[f"{name}.bias"] = np.asarray(bias)
-
-
 def _timm_sd_from_ours(encoder_name, params, stats):
     """Inverse of the converter: emit a timm-named state dict from our
-    initialised encoder tree. converter(inverse(x)) == x proves full
+    initialised encoder tree via the package's export inverses
+    (models/torch_export.py). converter(inverse(x)) == x proves full
     coverage + correct transposition."""
+    from volume_segmantics_tpu.models import torch_export as tex
+
     sd = {}
-    p, s = params, stats
     if "efficientnet" in encoder_name:
-        _inverse_conv(sd, "encoder.conv_stem", p["conv_stem"]["kernel"])
-        sd["encoder.bn1.weight"] = np.asarray(p["bnact_stem"]["bn"]["scale"])
-        sd["encoder.bn1.bias"] = np.asarray(p["bnact_stem"]["bn"]["bias"])
-        sd["encoder.bn1.running_mean"] = np.asarray(s["bnact_stem"]["bn"]["mean"])
-        sd["encoder.bn1.running_var"] = np.asarray(s["bnact_stem"]["bn"]["var"])
-        for name in p:
-            if not name.startswith("stage"):
-                continue
-            st, bl = name.replace("stage", "").split("_block")
-            t = f"encoder.blocks.{int(st) - 1}.{bl}"
-            blk, bst = p[name], s[name]
-            def bn_out(t_bn, f_name):
-                sd[f"{t_bn}.weight"] = np.asarray(blk[f_name]["bn"]["scale"])
-                sd[f"{t_bn}.bias"] = np.asarray(blk[f_name]["bn"]["bias"])
-                sd[f"{t_bn}.running_mean"] = np.asarray(bst[f_name]["bn"]["mean"])
-                sd[f"{t_bn}.running_var"] = np.asarray(bst[f_name]["bn"]["var"])
-            if "conv_expand" in blk:
-                _inverse_conv(sd, f"{t}.conv_pw", blk["conv_expand"]["kernel"])
-                bn_out(f"{t}.bn1", "bnact_expand")
-                _inverse_conv(sd, f"{t}.conv_dw", blk["conv_depthwise"]["kernel"])
-                bn_out(f"{t}.bn2", "bnact_depthwise")
-                _inverse_conv(sd, f"{t}.conv_pwl", blk["conv_project"]["kernel"])
-                bn_out(f"{t}.bn3", "bnact_project")
-            else:
-                _inverse_conv(sd, f"{t}.conv_dw", blk["conv_depthwise"]["kernel"])
-                bn_out(f"{t}.bn1", "bnact_depthwise")
-                _inverse_conv(sd, f"{t}.conv_pw", blk["conv_project"]["kernel"])
-                bn_out(f"{t}.bn2", "bnact_project")
-            _inverse_conv(sd, f"{t}.se.conv_reduce",
-                          blk["se"]["conv_reduce"]["kernel"],
-                          blk["se"]["conv_reduce"]["bias"])
-            _inverse_conv(sd, f"{t}.se.conv_expand",
-                          blk["se"]["conv_expand"]["kernel"],
-                          blk["se"]["conv_expand"]["bias"])
+        tex._inverse_efficientnet_encoder(sd, params, stats)
     elif "resnest" in encoder_name:
-        stem = [("conv1.0", "conv1.1", "stem_conv1"),
-                ("conv1.3", "conv1.4", "stem_conv2"),
-                ("conv1.6", "bn1", "stem_conv3")]
-        for t_conv, t_bn, f_name in stem:
-            _inverse_convbn(sd, p[f_name], s[f_name],
-                            f"encoder.{t_conv}", f"encoder.{t_bn}")
-        for name in p:
-            if not name.startswith("layer"):
-                continue
-            st, bl = name.replace("layer", "").split("_")
-            t = f"encoder.layer{st}.{bl}"
-            blk, bst = p[name], s[name]
-            _inverse_convbn(sd, blk["convbn1"], bst["convbn1"],
-                            f"{t}.conv1", f"{t}.bn1")
-            sp, sps = blk["splat"], bst["splat"]
-            _inverse_conv(sd, f"{t}.conv2.conv", sp["conv"]["kernel"])
-            for fb, tb in (("bn0", "bn0"), ("bn1", "bn1")):
-                sd[f"{t}.conv2.{tb}.weight"] = np.asarray(sp[fb]["scale"])
-                sd[f"{t}.conv2.{tb}.bias"] = np.asarray(sp[fb]["bias"])
-                sd[f"{t}.conv2.{tb}.running_mean"] = np.asarray(sps[fb]["mean"])
-                sd[f"{t}.conv2.{tb}.running_var"] = np.asarray(sps[fb]["var"])
-            for ff, tf in (("conv_fc1", "fc1"), ("conv_fc2", "fc2")):
-                _inverse_conv(sd, f"{t}.conv2.{tf}", sp[ff]["kernel"], sp[ff]["bias"])
-            _inverse_convbn(sd, blk["convbn3"], bst["convbn3"],
-                            f"{t}.conv3", f"{t}.bn3")
-            if "conv_down" in blk:
-                _inverse_convbn(sd, blk["conv_down"], bst["conv_down"],
-                                f"{t}.downsample.1", f"{t}.downsample.2")
+        tex._inverse_resnest_encoder(sd, params, stats)
+    else:
+        tex._inverse_resnet_encoder(sd, params, stats)
     return sd
 
 
@@ -237,191 +167,11 @@ def _timm_sd_from_ours(encoder_name, params, stats):
 # ---------------------------------------------------------------------------
 
 
-def _inverse_resnet_encoder(sd, p, s):
-    _inverse_convbn(sd, p["stem_conv"], s["stem_conv"], "encoder.conv1",
-                    "encoder.bn1")
-    for name in p:
-        if not name.startswith("layer"):
-            continue
-        st, bl = name.replace("layer", "").split("_")
-        t = f"encoder.layer{st}.{bl}"
-        blk, bst = p[name], s[name]
-        for ci in (1, 2, 3):
-            if f"convbn{ci}" in blk:
-                _inverse_convbn(sd, blk[f"convbn{ci}"], bst[f"convbn{ci}"],
-                                f"{t}.conv{ci}", f"{t}.bn{ci}")
-        if "conv_down" in blk:
-            _inverse_convbn(sd, blk["conv_down"], bst["conv_down"],
-                            f"{t}.downsample.0", f"{t}.downsample.1")
-
-
-def _inverse_gn(sd, name, gn):
-    sd[f"{name}.weight"] = np.asarray(gn["scale"])
-    sd[f"{name}.bias"] = np.asarray(gn["bias"])
-
-
-def _inverse_convT(sd, name, kernel):
-    sd[f"{name}.weight"] = np.transpose(
-        np.flip(np.asarray(kernel), axis=(0, 1)), (2, 3, 0, 1)
-    )
-
-
-def _inverse_unet_decoder(sd, p, s):
-    for name in p:
-        i = name.replace("block", "")
-        t = f"decoder.blocks.{i}"
-        _inverse_convbn(sd, p[name]["convbn1"], s[name]["convbn1"],
-                        f"{t}.conv1.0", f"{t}.conv1.1")
-        _inverse_convbn(sd, p[name]["convbn2"], s[name]["convbn2"],
-                        f"{t}.conv2.0", f"{t}.conv2.1")
-
-
-def _inverse_unetpp_decoder(sd, p, s):
-    for name in p:  # nodes already named x_{a}_{b}
-        t = f"decoder.blocks.{name}"
-        _inverse_convbn(sd, p[name]["convbn1"], s[name]["convbn1"],
-                        f"{t}.conv1.0", f"{t}.conv1.1")
-        _inverse_convbn(sd, p[name]["convbn2"], s[name]["convbn2"],
-                        f"{t}.conv2.0", f"{t}.conv2.1")
-
-
-def _inverse_fpn_decoder(sd, p, s):
-    _inverse_conv(sd, "decoder.p5", p["conv_p5"]["kernel"], p["conv_p5"]["bias"])
-    for lvl in (4, 3, 2):
-        lat = p[f"fpn_p{lvl}"]["conv_lateral"]
-        _inverse_conv(sd, f"decoder.p{lvl}.skip_conv", lat["kernel"], lat["bias"])
-    for i, lvl in enumerate((5, 4, 3, 2)):
-        seg = p[f"seg_p{lvl}"]
-        for name in seg:
-            j = name.replace("convgn", "")
-            t = f"decoder.seg_blocks.{i}.block.{j}.block"
-            _inverse_conv(sd, f"{t}.0", seg[name]["conv"]["kernel"])
-            _inverse_gn(sd, f"{t}.1", seg[name]["gn"])
-
-
-def _inverse_aspp(sd, p, s, t_prefix, separable):
-    _inverse_convbn(sd, p["convbn_1x1"], s["convbn_1x1"],
-                    f"{t_prefix}.convs.0.0", f"{t_prefix}.convs.0.1")
-    for i, rate in enumerate((12, 24, 36), start=1):
-        t = f"{t_prefix}.convs.{i}"
-        if separable:
-            sp, ss = p[f"sepconv_r{rate}"], s[f"sepconv_r{rate}"]
-            _inverse_conv(sd, f"{t}.0.0", sp["conv_depthwise"]["kernel"])
-            _inverse_conv(sd, f"{t}.0.1", sp["conv_pointwise"]["kernel"])
-            sd[f"{t}.1.weight"] = np.asarray(sp["bn"]["scale"])
-            sd[f"{t}.1.bias"] = np.asarray(sp["bn"]["bias"])
-            sd[f"{t}.1.running_mean"] = np.asarray(ss["bn"]["mean"])
-            sd[f"{t}.1.running_var"] = np.asarray(ss["bn"]["var"])
-        else:
-            _inverse_convbn(sd, p[f"convbn_r{rate}"], s[f"convbn_r{rate}"],
-                            f"{t}.0", f"{t}.1")
-    _inverse_convbn(sd, p["convbn_pool"], s["convbn_pool"],
-                    f"{t_prefix}.convs.4.1", f"{t_prefix}.convs.4.2")
-    _inverse_convbn(sd, p["convbn_project"], s["convbn_project"],
-                    f"{t_prefix}.project.0", f"{t_prefix}.project.1")
-
-
-def _inverse_sep_convbn(sd, sp, ss, t_sep, t_bn):
-    _inverse_conv(sd, f"{t_sep}.0", sp["conv_depthwise"]["kernel"])
-    _inverse_conv(sd, f"{t_sep}.1", sp["conv_pointwise"]["kernel"])
-    sd[f"{t_bn}.weight"] = np.asarray(sp["bn"]["scale"])
-    sd[f"{t_bn}.bias"] = np.asarray(sp["bn"]["bias"])
-    sd[f"{t_bn}.running_mean"] = np.asarray(ss["bn"]["mean"])
-    sd[f"{t_bn}.running_var"] = np.asarray(ss["bn"]["var"])
-
-
-def _inverse_deeplabv3_decoder(sd, p, s):
-    _inverse_aspp(sd, p["aspp"], s["aspp"], "decoder.0", separable=False)
-    _inverse_convbn(sd, p["convbn_out"], s["convbn_out"], "decoder.1",
-                    "decoder.2")
-
-
-def _inverse_deeplabv3plus_decoder(sd, p, s):
-    _inverse_aspp(sd, p["aspp"], s["aspp"], "decoder.aspp.0", separable=True)
-    _inverse_sep_convbn(sd, p["sepconv_aspp"], s["sepconv_aspp"],
-                        "decoder.aspp.1", "decoder.aspp.2")
-    _inverse_convbn(sd, p["convbn_highres"], s["convbn_highres"],
-                    "decoder.block1.0", "decoder.block1.1")
-    _inverse_sep_convbn(sd, p["sepconv_fuse"], s["sepconv_fuse"],
-                        "decoder.block2.0", "decoder.block2.1")
-
-
-def _inverse_manet_decoder(sd, p, s):
-    for t_name, f_name in (("top_conv", "conv_top"), ("center_conv", "conv_center"),
-                           ("bottom_conv", "conv_bottom"), ("out_conv", "conv_map")):
-        cv = p["pab"][f_name]
-        _inverse_conv(sd, f"decoder.center.{t_name}", cv["kernel"], cv["bias"])
-    for name in p:
-        if name.startswith("mfab"):
-            i = name.replace("mfab", "")
-            t = f"decoder.blocks.{i}"
-            blk, bst = p[name], s[name]
-            _inverse_convbn(sd, blk["convbn_hl1"], bst["convbn_hl1"],
-                            f"{t}.hl_conv.0.0", f"{t}.hl_conv.0.1")
-            _inverse_convbn(sd, blk["convbn_hl2"], bst["convbn_hl2"],
-                            f"{t}.hl_conv.1.0", f"{t}.hl_conv.1.1")
-            for f_se, t_se in (("se_hl", "SE_hl"), ("se_ll", "SE_ll")):
-                sq, ex = blk[f_se]["conv_squeeze"], blk[f_se]["conv_excite"]
-                _inverse_conv(sd, f"{t}.{t_se}.1", sq["kernel"], sq["bias"])
-                _inverse_conv(sd, f"{t}.{t_se}.3", ex["kernel"], ex["bias"])
-            _inverse_convbn(sd, blk["convbn1"], bst["convbn1"],
-                            f"{t}.conv1.0", f"{t}.conv1.1")
-            _inverse_convbn(sd, blk["convbn2"], bst["convbn2"],
-                            f"{t}.conv2.0", f"{t}.conv2.1")
-        elif name.startswith("block"):
-            i = name.replace("block", "")
-            t = f"decoder.blocks.{i}"
-            _inverse_convbn(sd, p[name]["convbn1"], s[name]["convbn1"],
-                            f"{t}.conv1.0", f"{t}.conv1.1")
-            _inverse_convbn(sd, p[name]["convbn2"], s[name]["convbn2"],
-                            f"{t}.conv2.0", f"{t}.conv2.1")
-
-
-def _inverse_linknet_decoder(sd, p, s):
-    for name in p:
-        i = name.replace("block", "")
-        t = f"decoder.blocks.{i}.block"
-        blk, bst = p[name], s[name]
-        _inverse_convbn(sd, blk["convbn1"], bst["convbn1"], f"{t}.0.0", f"{t}.0.1")
-        _inverse_convT(sd, f"{t}.1.0", blk["transpose"]["convT"]["kernel"])
-        sd[f"{t}.1.1.weight"] = np.asarray(blk["transpose"]["bn"]["scale"])
-        sd[f"{t}.1.1.bias"] = np.asarray(blk["transpose"]["bn"]["bias"])
-        sd[f"{t}.1.1.running_mean"] = np.asarray(bst["transpose"]["bn"]["mean"])
-        sd[f"{t}.1.1.running_var"] = np.asarray(bst["transpose"]["bn"]["var"])
-        _inverse_convbn(sd, blk["convbn2"], bst["convbn2"], f"{t}.2.0", f"{t}.2.1")
-
-
-def _inverse_pan_decoder(sd, p, s):
-    def inv_cbr(t_prefix, node, snode):
-        _inverse_conv(sd, f"{t_prefix}.conv", node["conv"]["kernel"],
-                      node["conv"]["bias"])
-        sd[f"{t_prefix}.bn.weight"] = np.asarray(node["bn"]["scale"])
-        sd[f"{t_prefix}.bn.bias"] = np.asarray(node["bn"]["bias"])
-        sd[f"{t_prefix}.bn.running_mean"] = np.asarray(snode["bn"]["mean"])
-        sd[f"{t_prefix}.bn.running_var"] = np.asarray(snode["bn"]["var"])
-
-    fpa_map = (("branch1.1", "branch1"), ("mid.0", "mid"), ("down1.1", "down1"),
-               ("down2.1", "down2"), ("down3.1", "down3a"),
-               ("down3.2", "down3b"), ("conv2", "conv2"), ("conv1", "conv1"))
-    for t_name, f_name in fpa_map:
-        inv_cbr(f"decoder.fpa.{t_name}", p["fpa"][f_name], s["fpa"][f_name])
-    for k in (3, 2, 1):
-        inv_cbr(f"decoder.gau{k}.conv1.1", p[f"gau{k}"]["conv1"],
-                s[f"gau{k}"]["conv1"])
-        inv_cbr(f"decoder.gau{k}.conv2", p[f"gau{k}"]["conv2"],
-                s[f"gau{k}"]["conv2"])
-
-
-_DECODER_INVERSES = {
-    ModelType.U_NET: _inverse_unet_decoder,
-    ModelType.U_NET_PLUS_PLUS: _inverse_unetpp_decoder,
-    ModelType.FPN: _inverse_fpn_decoder,
-    ModelType.DEEPLABV3: _inverse_deeplabv3_decoder,
-    ModelType.DEEPLABV3_PLUS: _inverse_deeplabv3plus_decoder,
-    ModelType.MA_NET: _inverse_manet_decoder,
-    ModelType.LINKNET: _inverse_linknet_decoder,
-    ModelType.PAN: _inverse_pan_decoder,
-}
+from volume_segmantics_tpu.models.torch_export import (  # noqa: E402
+    DECODER_INVERSES as _DECODER_INVERSES,
+    _inverse_conv,
+    _inverse_resnet_encoder,
+)
 
 
 @pytest.mark.slow
@@ -651,7 +401,8 @@ def test_pretrained_pipeline_end_to_end(encoder_name, tmp_path, monkeypatch):
 
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
-    tx = optax.adamw(1.0, weight_decay=0.01)
+    from volume_segmantics_tpu.parallel.train import make_base_optimizer
+    tx = make_base_optimizer(weight_decay=0.01)
     mask = _freeze_mask(bundle.params, frozen=True)
     step = build_dp_train_step(
         bundle.module, loss_fn, tx, mask, num_labels=2, image_size=64,
@@ -677,3 +428,77 @@ def test_pretrained_pipeline_end_to_end(encoder_name, tmp_path, monkeypatch):
     assert np.array_equal(node, stem_before), "frozen encoder stem moved"
     dec_after = jax.tree_util.tree_leaves(new_params["decoder"])[0]
     assert not np.array_equal(dec_before, np.asarray(dec_after))
+
+
+@pytest.mark.slow
+def test_export_torch_checkpoint_roundtrip(tmp_path):
+    """Torch-format checkpoint EXPORT (interop is two-way): a native
+    checkpoint exported via models/torch_export.py must (a) torch.load
+    cleanly, (b) carry the reference's exact 5-key schema with smp tensor
+    names (key-set equality against the synthetic smp U-Net schema incl.
+    num_batches_tracked), and (c) re-import through load_torch_checkpoint
+    with every weight identical."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.models.checkpoint import save_checkpoint
+    from volume_segmantics_tpu.models.torch_convert import load_torch_checkpoint
+    from volume_segmantics_tpu.models.torch_export import export_checkpoint_file
+
+    struc = {
+        "type": ModelType.U_NET,
+        "encoder_name": "resnet34",
+        "encoder_weights": None,
+        "in_channels": 1,
+        "classes": 4,
+    }
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(3))
+    native = tmp_path / "model.pytorch"
+    save_checkpoint(
+        native,
+        model_state=bundle.variables,
+        model_struc_dict=struc,
+        optimizer_state={},
+        loss_val=0.125,
+        label_codes={"0": "bg", "1": "fg"},
+    )
+    exported = tmp_path / "model_torch.pytorch"
+    export_checkpoint_file(native, exported)
+
+    blob = torch.load(exported, map_location="cpu", weights_only=False)
+    assert set(blob) == {
+        "model_state_dict", "model_struc_dict", "optimizer_state_dict",
+        "loss_val", "label_codes",
+    }
+    assert blob["loss_val"] == 0.125
+    assert blob["label_codes"] == {"0": "bg", "1": "fg"}
+    assert blob["model_struc_dict"]["type"].name == "U_NET"
+    # The pickled enum must resolve under the REFERENCE package's module
+    # path so the reference CLI can unpickle it.
+    assert type(blob["model_struc_dict"]["type"]).__module__ == (
+        "volume_segmantics.utilities.base_data_utils"
+    )
+    ref_schema = set(make_smp_unet_resnet34_state_dict(classes=4))
+    ref_schema |= {
+        k.rsplit(".", 1)[0] + ".num_batches_tracked"
+        for k in ref_schema if k.endswith(".running_mean")
+    }
+    assert set(blob["model_state_dict"]) == ref_schema
+
+    # Re-import: every weight must survive the round trip exactly.
+    back = load_torch_checkpoint(exported)
+    orig_leaves = jax.tree_util.tree_leaves_with_path(
+        {"params": bundle.variables["params"],
+         "batch_stats": bundle.variables["batch_stats"]}
+    )
+    from flax import serialization
+
+    restored = serialization.from_state_dict(
+        {"params": bundle.variables["params"],
+         "batch_stats": bundle.variables["batch_stats"]},
+        back["model_state_dict"],
+    )
+    for (path, a), b in zip(orig_leaves,
+                            jax.tree_util.tree_leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), path

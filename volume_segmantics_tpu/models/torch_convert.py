@@ -21,18 +21,26 @@ from volume_segmantics_tpu.utils.base_data_utils import ModelType
 
 
 def _install_reference_stubs():
-    """Allow unpickling of reference-package enums without the reference
-    package installed."""
+    """Allow (un)pickling of reference-package enums without the reference
+    package installed. The stub enums are CLONES created under the
+    reference's module path ("volume_segmantics.utilities.base_data_utils"),
+    so checkpoints we torch.save (models/torch_export.py) pickle their
+    ModelType by that path and the actual reference package can load them."""
     if "volume_segmantics" in sys.modules:
         return
+    import enum
+
+    from volume_segmantics_tpu.utils.base_data_utils import Axis, Quality
+
     pkg = types.ModuleType("volume_segmantics")
     utilities = types.ModuleType("volume_segmantics.utilities")
     bdu = types.ModuleType("volume_segmantics.utilities.base_data_utils")
-    bdu.ModelType = ModelType
-    from volume_segmantics_tpu.utils.base_data_utils import Axis, Quality
-
-    bdu.Axis = Axis
-    bdu.Quality = Quality
+    for cls in (ModelType, Axis, Quality):
+        bdu.__dict__[cls.__name__] = enum.Enum(
+            cls.__name__,
+            {m.name: m.value for m in cls},
+            module="volume_segmantics.utilities.base_data_utils",
+        )
     utilities.base_data_utils = bdu
     pkg.utilities = utilities
     sys.modules["volume_segmantics"] = pkg
