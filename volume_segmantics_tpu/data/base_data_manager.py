@@ -22,12 +22,25 @@ class BaseDataManager:
     """Holds the preprocessed data volume plus its on-disk chunking.
 
     Attributes:
-        data_vol: the (preprocessed) 3D numpy volume.
+        data_vol: the (preprocessed) 3D numpy volume — or a
+            `utils.LazyHDF5Volume` for beyond-host-RAM sources (see below).
         data_vol_shape: shape after preprocessing.
         data_mean: mean of the volume before any clipping (NaNs ignored).
         input_data_chunking: HDF5 chunk shape of the source dataset, or
             True when the source had none (ndarray input / TIFF).
+
+    Lazy ingest: an HDF5/NXS source whose voxel count exceeds
+    ``settings.lazy_ingest_threshold`` (default LAZY_INGEST_THRESHOLD_VOXELS)
+    is NOT loaded into RAM. The mean/σ statistics are slab-streamed off
+    disk, and clip-to-uint8 / NaN scrubbing become a per-chunk transform the
+    lazy volume applies at read time — the streaming predictor then consumes
+    it slab-by-slab, bounding peak host memory at O(slab) for arbitrarily
+    large volumes. Subclasses that require a materialised array (the
+    training slicer) set ``ALLOW_LAZY_INGEST = False``.
     """
+
+    LAZY_INGEST_THRESHOLD_VOXELS = 512**3
+    ALLOW_LAZY_INGEST = True
 
     def __init__(
         self, data_vol: Union[Path, str, np.ndarray], settings: SimpleNamespace
@@ -37,11 +50,42 @@ class BaseDataManager:
         self.downsample = settings.downsample
         self.data_vol_path = utils.setup_path_if_exists(data_vol)
         self.data_vol, self.input_data_chunking = self._ingest(data_vol)
-        self._preprocess_data()
+        if isinstance(self.data_vol, utils.LazyHDF5Volume):
+            self._preprocess_lazy()
+        else:
+            self._preprocess_data()
+
+    def _lazy_threshold(self) -> int:
+        import volume_segmantics_tpu.utils.config as cfg  # noqa: F401
+
+        return int(
+            getattr(
+                self.settings,
+                "lazy_ingest_threshold",
+                self.LAZY_INGEST_THRESHOLD_VOXELS,
+            )
+        )
 
     def _ingest(self, data_vol):
-        """Resolve the input to (ndarray, chunking)."""
+        """Resolve the input to (ndarray-or-lazy-volume, chunking)."""
         if self.data_vol_path is not None:
+            suffix = self.data_vol_path.suffix
+            import volume_segmantics_tpu.utils.config as cfg
+
+            if self.ALLOW_LAZY_INGEST and suffix in cfg.HDF5_SUFFIXES:
+                lazy = utils.LazyHDF5Volume(
+                    self.data_vol_path,
+                    hdf5_path=self.settings.data_hdf5_path,
+                    nexus=suffix == ".nxs",
+                )
+                if lazy.size > self._lazy_threshold():
+                    logging.info(
+                        f"Volume has {lazy.size} voxels "
+                        f"(> {self._lazy_threshold()}); keeping the HDF5 "
+                        "source lazy (slab-streamed preprocessing)."
+                    )
+                    return lazy, lazy.chunks
+                lazy.close()
             return utils.get_numpy_from_path(
                 self.data_vol_path, internal_path=self.settings.data_hdf5_path
             )
@@ -66,3 +110,67 @@ class BaseDataManager:
             vol = np.nan_to_num(vol, copy=False)
         self.data_vol = vol
         self.data_vol_shape = vol.shape
+
+    def _preprocess_lazy(self) -> None:
+        """Slab-streamed preprocessing for lazy HDF5 sources: same
+        statistics and per-voxel numerics as `_preprocess_data` (streaming
+        clip path), but clip/NaN handling is deferred into a read-time
+        transform so nothing materialises."""
+        src = self.data_vol
+        slab = int(getattr(self.settings, "streaming_slab_size", 64))
+        if self.downsample:
+            import tempfile
+
+            self._downsample_dir = tempfile.mkdtemp(prefix="volseg_ds_")
+            logging.info("Slab-streaming 2x downsample to a memmap.")
+            ds_mm = utils.streaming_downsample_to_memmap(
+                src, Path(self._downsample_dir) / "downsampled.npy",
+                slab_slices=slab,
+            )
+            logging.info("Calculating mean of data...")
+            self.data_mean = float(utils.streaming_nanmean(ds_mm, slab))
+            logging.info(f"Mean value: {self.data_mean}")
+            if self.settings.clip_data:
+                st_dev = utils.streaming_nanstd(ds_mm, self.data_mean, slab)
+                transform = utils.make_clip_to_uint8_transform(
+                    self.data_mean, st_dev, self.st_dev_factor
+                )
+                vol = _TransformedVolume(ds_mm, transform, np.uint8)
+            else:
+                vol = _TransformedVolume(
+                    ds_mm, lambda c: np.nan_to_num(c), ds_mm.dtype
+                )
+            self.data_vol = vol
+            self.data_vol_shape = vol.shape
+            return
+        logging.info("Calculating mean of data (slab-streamed)...")
+        self.data_mean = float(utils.streaming_nanmean(src, slab))
+        logging.info(f"Mean value: {self.data_mean}")
+        if self.settings.clip_data:
+            logging.info("Clipping data and converting to uint8 (lazy).")
+            st_dev = utils.streaming_nanstd(src, self.data_mean, slab)
+            src.set_transform(
+                utils.make_clip_to_uint8_transform(
+                    self.data_mean, st_dev, self.st_dev_factor
+                ),
+                np.uint8,
+            )
+        elif np.issubdtype(src.dtype, np.floating):
+            src.set_transform(lambda c: np.nan_to_num(c), src.dtype)
+        self.data_vol_shape = src.shape
+
+
+class _TransformedVolume:
+    """Basic-sliceable wrapper applying a per-chunk transform over any
+    array-like source (used for the downsampled-memmap lazy path)."""
+
+    def __init__(self, source, transform, dtype):
+        self._source = source
+        self._transform = transform
+        self.dtype = np.dtype(dtype)
+        self.shape = tuple(source.shape)
+        self.ndim = source.ndim
+        self.size = int(source.size)
+
+    def __getitem__(self, sel):
+        return self._transform(np.asarray(self._source[sel]))

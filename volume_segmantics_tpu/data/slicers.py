@@ -25,6 +25,11 @@ class TrainingDataSlicer(BaseDataManager):
     """Preprocesses a data volume + label volume pair and slices both along
     the z/y/x axes (or a single axis) into 2D images."""
 
+    # Slicing iterates single planes along all three axes and the label
+    # sanitation needs whole-volume numpy ops — training volumes (128-512³,
+    # reference README.md:13) are materialised eagerly.
+    ALLOW_LAZY_INGEST = False
+
     def __init__(
         self,
         data_vol: Union[str, np.ndarray],

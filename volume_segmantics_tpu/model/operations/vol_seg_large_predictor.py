@@ -25,15 +25,65 @@ from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
 )
 from volume_segmantics_tpu.utils.base_data_utils import Axis, Quality
 
+# ---------------------------------------------------------------------------
+# View specs: signed axis permutations describing every TTA frame
+# ---------------------------------------------------------------------------
+# A "view spec" encodes a composition of np.rot90 in-plane rotations and
+# axis reorientations as spec[i] = (src_axis, flip): view axis i draws from
+# source axis src_axis, index-reversed when flip is True. All 12 TTA frames
+# (4 rotations x 3 sweep axes; reference vol_seg_2d_predictor.py:100-116)
+# live in this group, so ANY frame's leading-axis slab can be fetched from
+# the original volume with one basic slice — h5py-Dataset-safe — and the
+# transpose/flips run on device inside the sweep program
+# (VolSeg2dPredictor._sweep_slab_device). No in-RAM np.rot90 input views.
+
+_IDENTITY_SPEC = ((0, False), (1, False), (2, False))
+_ROT90_SPEC = ((1, True), (0, False), (2, False))  # spec of np.rot90(V, 1)
+_AXIS_SPECS = {
+    Axis.Z: _IDENTITY_SPEC,
+    Axis.Y: ((1, False), (0, False), (2, False)),
+    Axis.X: ((2, False), (1, False), (0, False)),
+}
+
+
+def _compose_specs(outer, inner):
+    """Spec of view(outer(inner(V))) — `inner` applied to the source first."""
+    return tuple((inner[a][0], inner[a][1] ^ f) for (a, f) in outer)
+
+
+def _view_spec(axis: Axis, rot_k: int = 0):
+    """Spec of rotate_array_to_axis(np.rot90(V, rot_k), axis)."""
+    spec = _IDENTITY_SPEC
+    for _ in range(rot_k % 4):
+        spec = _compose_specs(_ROT90_SPEC, spec)
+    return _compose_specs(_AXIS_SPECS[axis], spec)
+
+
+def _spec_shape(shape, spec):
+    return tuple(shape[a] for a, _ in spec)
+
+
+def _read_spec_slab(vol, spec, start, stop) -> np.ndarray:
+    """Fetch the raw source chunk backing view-slab [start, stop) along the
+    view's leading axis. Uses BASIC slicing only (ndarray / memmap / h5py
+    Dataset all work); the chunk keeps SOURCE axis order — the view
+    transform happens on device."""
+    a0, f0 = spec[0]
+    sel = [slice(None)] * 3
+    n0 = vol.shape[a0]
+    sel[a0] = slice(n0 - stop, n0 - start) if f0 else slice(start, stop)
+    return np.ascontiguousarray(vol[tuple(sel)])
+
 
 class VolSegLargeVolPredictor:
-    """Slab-streamed single/3-axis prediction with host-memmap accumulation.
+    """Slab-streamed single/3-axis/12-way prediction with host-memmap
+    accumulation.
 
-    The single-axis and 3-axis paths read input slabs with basic slicing
-    only, so `data_vol` may be a numpy array, a memmap, or an h5py Dataset
-    — volumes larger than host RAM stream straight from disk. The 12-way
-    paths additionally take np.rot90 views of the input and therefore need
-    an in-RAM array or memmap.
+    EVERY path (including 12-way and one-hot voting) reads input slabs with
+    basic slicing only, so `data_vol` may be a numpy array, a memmap, or an
+    h5py Dataset — volumes larger than host RAM stream straight from disk.
+    TTA rotations are folded into the on-device sweep via view specs (see
+    module docstring above).
 
     Args:
         predictor: a VolSeg2dPredictor (its compiled sweeps are reused).
@@ -58,25 +108,19 @@ class VolSegLargeVolPredictor:
             self.workdir / f"{name}.npy", mode="w+", shape=tuple(shape), dtype=dtype
         )
 
-    @staticmethod
-    def _read_axis_slab(vol, axis, start, stop) -> np.ndarray:
-        """Slices [start, stop) along `axis`, returned in the rotated
-        orientation (slice index leading). Only basic slicing is used, so
-        `vol` may be a numpy array, a memmap, or an h5py Dataset — the
-        streaming sweeps never need the whole volume in RAM."""
-        if axis == Axis.Z:
-            return np.asarray(vol[start:stop])
-        if axis == Axis.Y:
-            return np.asarray(vol[:, start:stop]).swapaxes(0, 1)
-        return np.asarray(vol[:, :, start:stop]).swapaxes(0, 2)
-
-    def _predict_axis_streaming(self, data_vol, axis, labels_out, probs_out):
-        """Sweep one axis in slabs. `labels_out`/`probs_out` are (D, H, W)
-        arrays in the ROTATED orientation of `axis` (caller handles the
-        inverse rotation via index mapping). `probs_out` may be None when
-        only labels are needed (one-hot voting). `data_vol` may be any
+    def _predict_axis_streaming(
+        self, data_vol, axis, labels_out, probs_out, rot_k: int = 0
+    ):
+        """Sweep one TTA frame (in-plane rotation `rot_k` x sweep `axis`) in
+        slabs. `labels_out`/`probs_out` are (D, H, W) arrays in the FRAME
+        orientation (slice index leading; caller handles the inverse
+        rotation via index mapping). `probs_out` may be None when only
+        labels are needed (one-hot voting). `data_vol` may be any
         basic-sliceable 3-D source (ndarray / memmap / h5py Dataset)."""
-        n = data_vol.shape[axis.value]
+        spec = _view_spec(axis, rot_k)
+        perm = tuple(a for a, _ in spec)
+        flips = tuple(f for _, f in spec)
+        n = data_vol.shape[perm[0]]
         slab = self.slab_size
         # 1-deep software pipeline: dispatch slab k (upload + sweep, all
         # async), then drain slab k-1's results to the host memmaps. The
@@ -88,12 +132,10 @@ class VolSegLargeVolPredictor:
         for start in range(0, n, slab):
             stop = min(start + slab, n)
             chunk_dev = jnp.asarray(
-                np.ascontiguousarray(
-                    self._read_axis_slab(data_vol, axis, start, stop)
-                )
+                _read_spec_slab(data_vol, spec, start, stop)
             )
-            labels_d, probs_d = self.predictor._sweep_axis_device(
-                chunk_dev, Axis.Z
+            labels_d, probs_d = self.predictor._sweep_slab_device(
+                chunk_dev, perm, flips
             )
             if pending is not None:
                 self._drain_slab(pending, labels_out, probs_out)
@@ -124,28 +166,54 @@ class VolSegLargeVolPredictor:
             acc_labels[start:stop] = al
             acc_probs[start:stop] = ap
 
-    def predict_3_ways(self, data_vol, prefix: str = "") -> tuple:
-        """3-axis max-prob TTA over an arbitrarily large in-RAM (or memmap)
-        uint8 volume. Returns (labels u8 memmap, probs f16 memmap)."""
-        shape = data_vol.shape
-        acc_labels = self._memmap(f"{prefix}labels", shape, np.uint8)
-        acc_probs = self._memmap(f"{prefix}probs", shape, np.float16)
+    @staticmethod
+    def _rotated_shape(shape, axis: Axis) -> tuple:
+        """Shape of a volume after rotating `axis` to the leading position
+        (the orientation the streaming sweeps accumulate in)."""
+        perm = {Axis.Z: (0, 1, 2), Axis.Y: (1, 0, 2), Axis.X: (2, 1, 0)}[axis]
+        return tuple(shape[i] for i in perm)
+
+    def predict_single_axis(self, data_vol, axis=Axis.Z, output_probs=True):
+        """Streaming single-axis sweep (LOW quality). Accepts any
+        basic-sliceable 3-D source (ndarray / memmap / h5py Dataset).
+        Returns (labels u8, probs f16) as rotate-back VIEWS over the
+        accumulation memmaps, in the original volume orientation; probs is
+        None when `output_probs` is False (skips the float16 download and
+        the memmap entirely)."""
+        rot_shape = self._rotated_shape(data_vol.shape, axis)
+        labels = self._memmap("labels", rot_shape, np.uint8)
+        probs = self._memmap("probs", rot_shape, np.float16) if output_probs else None
+        self._predict_axis_streaming(data_vol, axis, labels, probs)
+        return (
+            utils.rotate_array_to_axis(labels, axis),
+            utils.rotate_array_to_axis(probs, axis) if output_probs else None,
+        )
+
+    def predict_3_ways(self, data_vol, prefix: str = "", rot_k: int = 0) -> tuple:
+        """3-axis max-prob TTA over an arbitrarily large basic-sliceable
+        volume, optionally in the rot90^rot_k TTA frame. Returns
+        (labels u8 memmap, probs f16 memmap) in that frame's orientation."""
+        frame_shape = _spec_shape(data_vol.shape, _view_spec(Axis.Z, rot_k))
+        acc_labels = self._memmap(f"{prefix}labels", frame_shape, np.uint8)
+        acc_probs = self._memmap(f"{prefix}probs", frame_shape, np.float16)
 
         logging.info("Streaming YX (z-axis) sweep.")
-        self._predict_axis_streaming(data_vol, Axis.Z, acc_labels, acc_probs)
+        self._predict_axis_streaming(
+            data_vol, Axis.Z, acc_labels, acc_probs, rot_k=rot_k
+        )
 
         for axis in (Axis.Y, Axis.X):
             logging.info(f"Streaming sweep along axis {axis.name}.")
-            rot_shape = tuple(
-                shape[i] for i in ((1, 0, 2) if axis == Axis.Y else (2, 1, 0))
-            )
+            rot_shape = _spec_shape(data_vol.shape, _view_spec(axis, rot_k))
             tmp_labels = self._memmap(
                 f"{prefix}labels_{axis.name}", rot_shape, np.uint8
             )
             tmp_probs = self._memmap(
                 f"{prefix}probs_{axis.name}", rot_shape, np.float16
             )
-            self._predict_axis_streaming(data_vol, axis, tmp_labels, tmp_probs)
+            self._predict_axis_streaming(
+                data_vol, axis, tmp_labels, tmp_probs, rot_k=rot_k
+            )
             # Rotate back views (swapaxes on memmaps is a zero-copy view)
             back_labels = utils.rotate_array_to_axis(tmp_labels, axis)
             back_probs = utils.rotate_array_to_axis(tmp_probs, axis)
@@ -155,15 +223,17 @@ class VolSegLargeVolPredictor:
 
     def predict_12_ways(self, data_vol) -> tuple:
         """12-way max-prob TTA (3 axes x 4 in-plane rotations; reference
-        predictor :100-116) with bounded memory: each rotation streams
-        through the device against a zero-copy np.rot90 VIEW of the input,
-        and per-rotation results merge slab-wise into the accumulator in the
-        reference's rotation order."""
+        predictor :100-116) with bounded memory: every rotation's sweeps
+        stream straight from the (possibly lazy) source via view specs, and
+        per-rotation results merge slab-wise into the accumulator in the
+        reference's rotation order. Only the OUTPUT memmaps are rotated on
+        the host (zero-copy views)."""
         acc_labels, acc_probs = self.predict_3_ways(data_vol, prefix="rot0_")
         for k in range(1, 4):
             logging.info(f"Streaming sweeps of volume rotated {k * 90} degrees.")
-            rotated_view = np.rot90(data_vol, k)  # zero-copy
-            lab_k, prob_k = self.predict_3_ways(rotated_view, prefix=f"rot{k}_")
+            lab_k, prob_k = self.predict_3_ways(
+                data_vol, prefix=f"rot{k}_", rot_k=k
+            )
             logging.info(
                 f"Merging rot {k * 90} deg volume with rot {(k - 1) * 90} deg "
                 "volume."
@@ -189,22 +259,18 @@ class VolSegLargeVolPredictor:
             for c in range(n_classes):
                 votes[c, start:stop] += (chunk == c).astype(np.uint8)
 
-    def _three_way_votes(self, data_vol, votes, prefix: str = ""):
-        """Add the 3-axis one-hot votes for `data_vol` into `votes`
-        (both in the SAME orientation as data_vol)."""
-        shape = data_vol.shape
+    def _three_way_votes(self, data_vol, votes, prefix: str = "", rot_k: int = 0):
+        """Add the 3-axis one-hot votes of the rot90^rot_k TTA frame into
+        `votes` (which is in that frame's orientation)."""
         for axis in (Axis.Z, Axis.Y, Axis.X):
             logging.info(f"Streaming one-hot sweep along axis {axis.name}.")
-            rot_shape = tuple(
-                shape[i]
-                for i in {
-                    Axis.Z: (0, 1, 2), Axis.Y: (1, 0, 2), Axis.X: (2, 1, 0)
-                }[axis]
-            )
+            rot_shape = _spec_shape(data_vol.shape, _view_spec(axis, rot_k))
             tmp_labels = self._memmap(
                 f"{prefix}oh_labels_{axis.name}", rot_shape, np.uint8
             )
-            self._predict_axis_streaming(data_vol, axis, tmp_labels, None)
+            self._predict_axis_streaming(
+                data_vol, axis, tmp_labels, None, rot_k=rot_k
+            )
             self._accumulate_votes(
                 votes, utils.rotate_array_to_axis(tmp_labels, axis)
             )
@@ -212,10 +278,7 @@ class VolSegLargeVolPredictor:
     def predict_single_axis_one_hot(self, data_vol, axis=Axis.Z):
         """Streaming single-axis one-hot votes: (C, D, H, W) uint8 memmap."""
         shape = data_vol.shape
-        rot_shape = tuple(
-            shape[i]
-            for i in {Axis.Z: (0, 1, 2), Axis.Y: (1, 0, 2), Axis.X: (2, 1, 0)}[axis]
-        )
+        rot_shape = self._rotated_shape(shape, axis)
         votes = self._memmap(
             "oh_votes", (self.predictor.num_labels,) + shape, np.uint8
         )
@@ -234,23 +297,25 @@ class VolSegLargeVolPredictor:
 
     def predict_12_ways_one_hot(self, data_vol):
         """Streaming 12-way one-hot vote summation: per-rotation votes
-        accumulate into rotated-orientation memmaps and are added back
-        through zero-copy np.rot90 views."""
+        accumulate into rotated-orientation memmaps (inputs stream via view
+        specs — no host rot90 of the source) and are added back through
+        zero-copy np.rot90 OUTPUT views."""
         votes = self._memmap(
-            "oh_votes", (self.predictor.num_labels,) + data_vol.shape, np.uint8
+            "oh_votes", (self.predictor.num_labels,) + tuple(data_vol.shape),
+            np.uint8,
         )
         self._three_way_votes(data_vol, votes, prefix="rot0_")
         for k in range(1, 4):
             logging.info(
                 f"Streaming one-hot sweeps of volume rotated {k * 90} degrees."
             )
-            rotated_view = np.rot90(data_vol, k)
+            frame_shape = _spec_shape(data_vol.shape, _view_spec(Axis.Z, k))
             votes_k = self._memmap(
                 f"rot{k}_oh_votes",
-                (self.predictor.num_labels,) + rotated_view.shape,
+                (self.predictor.num_labels,) + frame_shape,
                 np.uint8,
             )
-            self._three_way_votes(rotated_view, votes_k, prefix=f"rot{k}_")
+            self._three_way_votes(data_vol, votes_k, prefix=f"rot{k}_", rot_k=k)
             back = np.rot90(votes_k, -k, axes=(1, 2))
             slab = self.slab_size
             for start in range(0, votes.shape[1], slab):

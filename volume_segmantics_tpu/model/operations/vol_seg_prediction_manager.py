@@ -65,7 +65,11 @@ class VolSeg2DPredictionManager(BaseDataManager):
         threshold = int(
             getattr(self.settings, "streaming_threshold", default_threshold)
         )
-        if self.data_vol.size > threshold:
+        # Lazy-ingested volumes (never materialised — see BaseDataManager)
+        # ALWAYS stream: the in-memory dispatch would pull the whole source
+        # through np.asarray.
+        is_lazy = not isinstance(self.data_vol, np.ndarray)
+        if is_lazy or self.data_vol.size > threshold:
             import logging
 
             from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
@@ -76,7 +80,10 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 f"Volume has {self.data_vol.size} voxels (> {threshold}); "
                 "using the slab-streaming predictor."
             )
-            large = VolSegLargeVolPredictor(self.predictor)
+            large = VolSegLargeVolPredictor(
+                self.predictor,
+                slab_size=int(getattr(self.settings, "streaming_slab_size", 64)),
+            )
             if one_hot:
                 if quality == utils.Quality.LOW:
                     prediction = large.predict_single_axis_one_hot(
@@ -87,19 +94,11 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 else:
                     prediction = large.predict_12_ways_one_hot(self.data_vol)
             elif quality == utils.Quality.LOW:
-                # Streaming outputs accumulate in the rotated orientation;
-                # rotate the memmap views back afterwards (zero-copy).
-                s = list(self.data_vol.shape)
-                if preferred_axis != utils.Axis.Z:
-                    s[0], s[preferred_axis.value] = s[preferred_axis.value], s[0]
-                rot_shape = tuple(s)
-                labels = large._memmap("labels", rot_shape, np.uint8)
-                probs_mm = large._memmap("probs", rot_shape, np.float16)
-                large._predict_axis_streaming(
-                    self.data_vol, preferred_axis, labels, probs_mm
+                prediction, probs = large.predict_single_axis(
+                    self.data_vol,
+                    axis=preferred_axis,
+                    output_probs=bool(self.settings.output_probs),
                 )
-                prediction = utils.rotate_array_to_axis(labels, preferred_axis)
-                probs = utils.rotate_array_to_axis(probs_mm, preferred_axis)
             elif quality == utils.Quality.MEDIUM:
                 prediction, probs = large.predict_3_ways(self.data_vol)
             else:

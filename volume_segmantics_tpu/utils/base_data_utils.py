@@ -210,31 +210,161 @@ def numpy_from_tiff(path) -> np.ndarray:
     return np.asarray(imageio.volread(path))
 
 
+def _resolve_hdf5_dataset(data_handle, hdf5_path: str = "/data",
+                          nexus: bool = False):
+    """Locate the volume dataset inside an open HDF5/NXS handle. NXS files
+    fall back through the standard Diamond processed-data paths (reference
+    base_data_utils.py:179-212)."""
+    if not nexus:
+        return data_handle[hdf5_path]
+    try:
+        return data_handle["processed/result/data"]
+    except KeyError:
+        logging.error(
+            "NXS file: Couldn't find data at 'processed/result/data' "
+            "trying another path."
+        )
+        try:
+            return data_handle["entry/final_result_tomo/data"]
+        except KeyError:
+            logging.error(
+                "NXS file: Could not find entry at "
+                "entry/final_result_tomo/data, exiting!"
+            )
+            sys.exit(1)
+
+
 def numpy_from_hdf5(path, hdf5_path: str = "/data", nexus: bool = False):
-    """HDF5/NXS file -> (volume, chunking). NXS files fall back through the
-    standard Diamond processed-data paths (reference base_data_utils.py:179-212).
-    """
+    """HDF5/NXS file -> (volume, chunking)."""
     with h5.File(path, "r") as data_handle:
-        if nexus:
-            try:
-                dataset = data_handle["processed/result/data"]
-            except KeyError:
-                logging.error(
-                    "NXS file: Couldn't find data at 'processed/result/data' "
-                    "trying another path."
-                )
-                try:
-                    dataset = data_handle["entry/final_result_tomo/data"]
-                except KeyError:
-                    logging.error(
-                        "NXS file: Could not find entry at "
-                        "entry/final_result_tomo/data, exiting!"
-                    )
-                    sys.exit(1)
-        else:
-            dataset = data_handle[hdf5_path]
+        dataset = _resolve_hdf5_dataset(data_handle, hdf5_path, nexus)
         input_data_chunking = dataset.chunks
         return dataset[()], input_data_chunking
+
+
+class LazyHDF5Volume:
+    """Basic-sliceable lazy view over an HDF5 dataset with an optional
+    per-chunk transform (clip-to-uint8 / NaN scrub) applied at READ time.
+
+    Duck-types the ndarray subset the streaming predictor uses (shape /
+    ndim / size / dtype / __getitem__ with basic slices), so beyond-host-RAM
+    volumes flow through the public prediction-manager API without ever
+    materialising: preprocessing happens slab-by-slab as the sweeps consume
+    input. `max_read_voxels` records the largest single read — tests pin
+    peak ingest memory at O(slab) with it."""
+
+    def __init__(self, path, hdf5_path: str = "/data", nexus: bool = False,
+                 transform=None, out_dtype=None):
+        self._file = h5.File(path, "r")
+        self._ds = _resolve_hdf5_dataset(self._file, hdf5_path, nexus)
+        self._transform = transform
+        self._out_dtype = np.dtype(out_dtype) if out_dtype is not None else None
+        self.max_read_voxels = 0
+        self.chunks = self._ds.chunks
+
+    @property
+    def shape(self):
+        return self._ds.shape
+
+    @property
+    def ndim(self):
+        return self._ds.ndim
+
+    @property
+    def size(self):
+        return self._ds.size
+
+    @property
+    def dtype(self):
+        return self._out_dtype if self._out_dtype is not None else self._ds.dtype
+
+    def set_transform(self, transform, out_dtype=None):
+        self._transform = transform
+        self._out_dtype = np.dtype(out_dtype) if out_dtype is not None else None
+
+    def __getitem__(self, sel):
+        chunk = self._ds[sel]
+        self.max_read_voxels = max(self.max_read_voxels, int(chunk.size))
+        if self._transform is not None:
+            chunk = self._transform(chunk)
+        return chunk
+
+    def close(self):
+        try:
+            self._file.close()
+        except Exception:
+            pass
+
+    def __del__(self):  # pragma: no cover - best-effort cleanup
+        self.close()
+
+
+def streaming_nanmean(vol, slab_slices: int = 64) -> float:
+    """Slab-streamed NaN-ignoring mean over any basic-sliceable volume
+    (float64 accumulation; numerically the two-pass np.nanmean layout)."""
+    total = 0.0
+    n_valid = 0
+    for start in range(0, vol.shape[0], slab_slices):
+        x = np.asarray(vol[start:start + slab_slices], dtype=np.float64)
+        nan_mask = np.isnan(x)
+        total += float(np.where(nan_mask, 0.0, x).sum())
+        n_valid += int(x.size - nan_mask.sum())
+    return total / max(n_valid, 1)
+
+
+def streaming_nanstd(vol, mean: float, slab_slices: int = 64) -> float:
+    """Slab-streamed NaN-ignoring standard deviation about `mean`."""
+    sq_sum = 0.0
+    n_valid = 0
+    for start in range(0, vol.shape[0], slab_slices):
+        x = np.asarray(vol[start:start + slab_slices], dtype=np.float64)
+        nan_mask = np.isnan(x)
+        d = np.where(nan_mask, mean, x) - mean
+        sq_sum += float((d * d).sum())
+        n_valid += int(x.size - nan_mask.sum())
+    return float(np.sqrt(sq_sum / max(n_valid, 1)))
+
+
+def make_clip_to_uint8_transform(data_mean: float, data_st_dev: float,
+                                 st_dev_factor: float):
+    """Per-chunk clip/rescale closure with clip_to_uint8's exact per-voxel
+    numerics (NaN -> mean, integer promotion to float64, in-place float
+    ops) and precomputed global bounds — applied lazily at read time by
+    LazyHDF5Volume."""
+    lower_bound = data_mean - (data_st_dev * st_dev_factor)
+    upper_bound = data_mean + (data_st_dev * st_dev_factor)
+    logging.info(f"Lower bound: {lower_bound}, upper bound: {upper_bound}")
+
+    def transform(chunk: np.ndarray) -> np.ndarray:
+        x = np.nan_to_num(chunk, copy=True, nan=data_mean)
+        if np.issubdtype(x.dtype, np.integer):
+            x = x.astype(float)
+        x = np.clip(x, lower_bound, upper_bound, out=x)
+        x = np.subtract(x, lower_bound, out=x)
+        x = np.divide(x, (upper_bound - lower_bound), out=x)
+        x = np.clip(x, 0.0, 1.0, out=x)
+        x = np.multiply(x, 255, out=x)
+        return x.astype(np.uint8)
+
+    return transform
+
+
+def streaming_downsample_to_memmap(vol, out_path, slab_slices: int = 64):
+    """Slab-streamed 2x block-mean downsample into a float32 memmap
+    (bounded host memory; lazy-ingest counterpart of downsample_data)."""
+    z, y, x = vol.shape
+    out_shape = ((z + 1) // 2, (y + 1) // 2, (x + 1) // 2)
+    out = np.lib.format.open_memmap(
+        out_path, mode="w+", shape=out_shape, dtype=np.float32
+    )
+    slab_slices += slab_slices % 2  # keep slabs aligned to slice pairs
+    for start in range(0, z, slab_slices):
+        stop = min(start + slab_slices, z)
+        chunk = np.asarray(vol[start:stop])
+        out[start // 2: (stop + 1) // 2] = downsample_data(chunk).astype(
+            np.float32
+        )
+    return out
 
 
 def get_numpy_from_path(
@@ -395,19 +525,32 @@ def axis_index_to_slice(vol, axis: str, index: int):
 
 def save_data_to_hdf5(data, file_path, internal_path="/data", chunking=True):
     """Write gzip-compressed HDF5, preserving input chunking
-    (reference base_data_utils.py:351-356)."""
+    (reference base_data_utils.py:351-356).
+
+    Writes slab-wise along axis 0 (bounded to ~256 MB per write) so that a
+    host-memmap source — e.g. the streaming predictor's accumulators, which
+    may exceed host RAM — never materialises fully through the page cache."""
     logging.info(f"Saving data of shape {data.shape} to {file_path}.")
-    data = np.asarray(data)
     if chunking not in (True, None) and len(chunking) != data.ndim:
         # e.g. one-hot output is 4D while input chunking was 3D
         chunking = True
+    dtype = np.dtype(data.dtype)
     with h5.File(file_path, "w") as f:
-        f.create_dataset(
+        dset = f.create_dataset(
             internal_path,
-            data=data,
+            shape=data.shape,
+            dtype=dtype,
             chunks=chunking,
             compression=cfg.HDF5_COMPRESSION,
         )
+        if data.ndim == 0 or data.shape[0] == 0:
+            dset[...] = np.asarray(data)
+            return
+        row_bytes = int(np.prod(data.shape[1:], dtype=np.int64)) * dtype.itemsize
+        slab = max(1, min(data.shape[0], (256 << 20) // max(row_bytes, 1)))
+        for start in range(0, data.shape[0], slab):
+            stop = min(start + slab, data.shape[0])
+            dset[start:stop] = np.ascontiguousarray(data[start:stop])
 
 
 def img_as_ubyte(data: np.ndarray) -> np.ndarray:
