@@ -60,9 +60,12 @@ def _randomize_norm_layers(params, stats, seed):
 CASES = [
     (ModelType.U_NET, "resnet34"),
     (ModelType.U_NET, "resnet50"),
+    (ModelType.U_NET, "resnext50_32x4d"),
     (ModelType.DEEPLABV3, "resnet34"),
     (ModelType.DEEPLABV3_PLUS, "resnet34"),
     (ModelType.DEEPLABV3_PLUS, "resnet50"),
+    (ModelType.FPN, "resnet34"),
+    (ModelType.LINKNET, "resnet34"),
 ]
 
 
@@ -114,11 +117,14 @@ def test_flax_matches_pure_torch_oracle(model_type, encoder_name):
         ModelType.U_NET: oracle.smp_unet_forward,
         ModelType.DEEPLABV3: oracle.smp_deeplabv3_forward,
         ModelType.DEEPLABV3_PLUS: oracle.smp_deeplabv3plus_forward,
+        ModelType.FPN: oracle.smp_fpn_forward,
+        ModelType.LINKNET: oracle.smp_linknet_forward,
     }
     with torch.no_grad():
         ref = oracles[model_type](
             torch.tensor(x[:, None]), sd,
             bottleneck=(encoder_name != "resnet34"),
+            groups=32 if "32x4d" in encoder_name else 1,
         ).numpy()
 
     variables = serialization.from_state_dict(

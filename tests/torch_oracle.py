@@ -20,7 +20,11 @@ BN_EPS = 1e-5
 
 
 def _t(sd, name):
-    return torch.as_tensor(np.asarray(sd[name]), dtype=torch.float32)
+    # ascontiguousarray: inverse converters may hand over np.flip views
+    # (negative strides), which torch.as_tensor rejects.
+    return torch.as_tensor(
+        np.ascontiguousarray(np.asarray(sd[name])), dtype=torch.float32
+    )
 
 
 def _bn(x, sd, pre):
@@ -233,3 +237,69 @@ def smp_deeplabv3plus_forward(x, sd, bottleneck=False, groups=1):
     )
     return _head(deeplabv3plus_decoder_forward(feats, sd), sd, kernel_size=1,
                  upsampling=4)
+
+
+def _gn(x, sd, pre, groups=32):
+    return F.group_norm(x, groups, _t(sd, f"{pre}.weight"), _t(sd, f"{pre}.bias"))
+
+
+def fpn_decoder_forward(feats, sd):
+    """smp FPNDecoder: 1x1 lateral pyramid with nearest x2 top-down merge,
+    per-level segmentation blocks (conv3x3 -> GroupNorm(32) -> ReLU, with
+    n_upsamples = [3, 2, 1, 0] nearest x2 steps), summed ("add" policy)."""
+    c2, c3, c4, c5 = feats[-4:]
+    p5 = _conv(c5, sd, "decoder.p5")
+    def fpn_block(p, skip, lvl):
+        p = F.interpolate(p, scale_factor=2, mode="nearest")
+        return p + _conv(skip, sd, f"decoder.p{lvl}.skip_conv")
+    p4 = fpn_block(p5, c4, 4)
+    p3 = fpn_block(p4, c3, 3)
+    p2 = fpn_block(p3, c2, 2)
+    out = None
+    for i, (p, n_up) in enumerate(zip((p5, p4, p3, p2), (3, 2, 1, 0))):
+        j = 0
+        while f"decoder.seg_blocks.{i}.block.{j}.block.0.weight" in sd:
+            pre = f"decoder.seg_blocks.{i}.block.{j}.block"
+            p = F.relu(_gn(_conv(p, sd, f"{pre}.0", padding=1), sd, f"{pre}.1"))
+            if n_up > 0:
+                p = F.interpolate(p, scale_factor=2, mode="nearest")
+            j += 1
+        out = p if out is None else out + p
+    return out
+
+
+def linknet_decoder_forward(feats, sd):
+    """smp LinknetDecoder: per block 1x1 Conv2dReLU -> TransposeX2
+    (ConvTranspose2d k4 s2 p1 + BN + ReLU) -> 1x1 Conv2dReLU, summed with
+    the skip."""
+    f = feats[1:][::-1]
+    x = f[0]
+    skips = f[1:]
+    i = 0
+    while f"decoder.blocks.{i}.block.0.0.weight" in sd:
+        t = f"decoder.blocks.{i}.block"
+        x = F.relu(_bn(_conv(x, sd, f"{t}.0.0"), sd, f"{t}.0.1"))
+        x = F.conv_transpose2d(x, _t(sd, f"{t}.1.0.weight"), None, stride=2,
+                               padding=1)
+        x = F.relu(_bn(x, sd, f"{t}.1.1"))
+        x = F.relu(_bn(_conv(x, sd, f"{t}.2.0"), sd, f"{t}.2.1"))
+        if i < len(skips) and skips[i] is not None:
+            x = x + skips[i]
+        i += 1
+    return x
+
+
+def smp_fpn_forward(x, sd, bottleneck=False, groups=1):
+    """smp.FPN(resnetXX): default encoder (os 32), FPN decoder, head
+    kernel 1, x4 bilinear upsample (align_corners=True)."""
+    feats = resnet_encoder_features(x, sd, bottleneck=bottleneck, groups=groups)
+    return _head(fpn_decoder_forward(feats, sd), sd, kernel_size=1,
+                 upsampling=4)
+
+
+def smp_linknet_forward(x, sd, bottleneck=False, groups=1):
+    """smp.Linknet(resnetXX): default encoder, Linknet decoder, head
+    kernel 1, no upsample."""
+    feats = resnet_encoder_features(x, sd, bottleneck=bottleneck, groups=groups)
+    return _head(linknet_decoder_forward(feats, sd), sd, kernel_size=1,
+                 upsampling=1)
