@@ -192,3 +192,33 @@ class TestMxuWarpKernel:
             interpret=True,
         )
         assert np.isclose(float(out_img[0, 0, 0]), 150.0 / 255.0, atol=1e-6)
+
+
+class TestAlignCornersResize:
+    def test_matches_torch_interpolate(self):
+        """resize_align_corners (matmul form) == torch F.interpolate with
+        align_corners=True (the smp PAN / SegmentationHead convention)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from volume_segmantics_tpu.models.layers import resize_align_corners
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 9, 13, 4)).astype(np.float32)
+        for out_h, out_w in ((36, 52), (18, 26), (5, 7), (9, 13)):
+            ours = np.asarray(
+                resize_align_corners(jnp.asarray(x), out_h, out_w)
+            )
+            ref = F.interpolate(
+                torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                size=(out_h, out_w), mode="bilinear", align_corners=True,
+            ).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_singleton_input_broadcasts(self):
+        from volume_segmantics_tpu.models.layers import resize_align_corners
+
+        x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 1, 3, 2))
+        y = np.asarray(resize_align_corners(x, 4, 3))
+        assert y.shape == (1, 4, 3, 2)
+        assert np.allclose(y, np.broadcast_to(np.asarray(x), (1, 4, 3, 2)))

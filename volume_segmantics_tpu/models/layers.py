@@ -260,29 +260,34 @@ def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize with torch's align_corners=True coordinate mapping
     (source position = i * (in-1)/(out-1)), NHWC. PAN's interpolations use
     this convention (smp PAN blocks pass align_corners=True), which
-    jax.image.resize's half-pixel mapping does not reproduce."""
+    jax.image.resize's half-pixel mapping does not reproduce.
 
-    def _axis(arr, in_len, out_len, axis):
-        if in_len == out_len:
-            return arr
-        if in_len == 1:
-            reps = [1] * arr.ndim
-            reps[axis] = out_len
-            return jnp.tile(arr, reps)
-        src = jnp.arange(out_len, dtype=jnp.float32) * (in_len - 1) / (out_len - 1)
-        i0 = jnp.floor(src).astype(jnp.int32)
-        i0 = jnp.clip(i0, 0, in_len - 2)
-        frac = (src - i0).astype(arr.dtype)
-        a = jnp.take(arr, i0, axis=axis)
-        b = jnp.take(arr, i0 + 1, axis=axis)
-        shape = [1] * arr.ndim
-        shape[axis] = out_len
-        frac = frac.reshape(shape)
-        return a * (1 - frac) + b * frac
-
-    x = _axis(x, x.shape[1], out_h, 1)
-    x = _axis(x, x.shape[2], out_w, 2)
-    return x
+    Expressed as two small matmuls against shape-static interpolation
+    matrices (`_align_corners_matrix`) so it rides the MXU instead of
+    jnp.take's slow TPU gather lowering — the same trick as resize_to."""
+    n, in_h, in_w, c = x.shape
+    if in_h == out_h and in_w == out_w:
+        return x
+    y = x
+    if in_h != out_h:
+        w_h = (
+            jnp.ones((out_h, 1), jnp.float32)
+            if in_h == 1 else _align_corners_matrix(out_h, in_h)
+        )
+        y = jnp.einsum(
+            "nhwc,Hh->nHwc", y, w_h.astype(y.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if in_w != out_w:
+        w_w = (
+            jnp.ones((out_w, 1), jnp.float32)
+            if in_w == 1 else _align_corners_matrix(out_w, in_w)
+        )
+        y = jnp.einsum(
+            "nHwc,Ww->nHWc", y, w_w.astype(y.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    return y
 
 
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding=((1, 1), (1, 1))):
