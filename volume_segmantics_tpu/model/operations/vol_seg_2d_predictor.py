@@ -153,6 +153,10 @@ class VolSeg2dPredictor:
             )
         # Pad the slice count so every device gets whole local batches.
         local_bs = max(self.batch_size // self.n_dev, 1)
+        # Cap at the per-device slice count: with the large default batch
+        # (BIG_PRED_BATCH=128) a small volume would otherwise pad most of
+        # its compute away.
+        local_bs = max(min(local_bs, -(-n // self.n_dev)), 1)
         n_mult = local_bs * self.n_dev
         n_pad = (-n) % n_mult
         if n_pad:
