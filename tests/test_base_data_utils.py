@@ -199,3 +199,50 @@ class TestNexusIO:
             f["processed/result/data"] = rand_int_volume
         data, chunking = utils.get_numpy_from_path(path)
         assert np.array_equal(data, rand_int_volume)
+
+
+def test_lazy_hdf5_volume_nexus_fallback(tmp_path):
+    """LazyHDF5Volume resolves NXS files through the Diamond processed-data
+    paths like the eager reader (reference base_data_utils.py:179-212)."""
+    import h5py
+
+    import volume_segmantics_tpu.utils.base_data_utils as utils
+
+    vol = np.arange(4 * 5 * 6, dtype=np.uint16).reshape(4, 5, 6)
+    src = tmp_path / "scan.nxs"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("processed/result/data", data=vol)
+    lazy = utils.LazyHDF5Volume(src, nexus=True)
+    assert lazy.shape == (4, 5, 6)
+    assert np.array_equal(lazy[1:3], vol[1:3])
+    lazy.close()
+
+    src2 = tmp_path / "scan2.nxs"
+    with h5py.File(src2, "w") as f:
+        f.create_dataset("entry/final_result_tomo/data", data=vol)
+    lazy2 = utils.LazyHDF5Volume(src2, nexus=True)
+    assert np.array_equal(lazy2[:, 2:4], vol[:, 2:4])
+    lazy2.close()
+
+
+def test_lazy_hdf5_volume_transform_and_dtype(tmp_path):
+    import h5py
+
+    import volume_segmantics_tpu.utils.base_data_utils as utils
+
+    vol = np.linspace(0, 1000, 4 * 4 * 4, dtype=np.float32).reshape(4, 4, 4)
+    src = tmp_path / "v.h5"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("/data", data=vol, chunks=(2, 4, 4))
+    lazy = utils.LazyHDF5Volume(src)
+    assert lazy.dtype == np.float32
+    tr = utils.make_clip_to_uint8_transform(float(vol.mean()),
+                                            float(vol.std()), 1.0)
+    lazy.set_transform(tr, np.uint8)
+    assert lazy.dtype == np.uint8
+    chunk = lazy[0:2]
+    assert chunk.dtype == np.uint8
+    expected = utils.clip_to_uint8(vol.copy(), float(vol.mean()), 1.0)[0:2]
+    assert np.array_equal(chunk, expected)
+    assert lazy.max_read_voxels == 2 * 4 * 4
+    lazy.close()

@@ -239,3 +239,32 @@ def test_dp_train_step_descends_with_public_chain():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+def test_multihost_predict_single_process(model_path, prediction_settings,
+                                          tmp_path):
+    """predict_local_block_to_hdf5 degenerates correctly at
+    process_count == 1: the single partial file holds the whole sweep and
+    stitches to the plain predictor output."""
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+        VolSeg2dPredictor,
+    )
+    from volume_segmantics_tpu.parallel.multihost_predict import (
+        local_slice_range,
+        predict_local_block_to_hdf5,
+        stitch_partial_predictions,
+    )
+
+    vol = np.random.default_rng(1).integers(0, 255, (16, 32, 32)).astype(np.uint8)
+    prediction_settings.prediction_batch_size = 8
+    prediction_settings.data_parallel = True
+    predictor = VolSeg2dPredictor(model_path, prediction_settings)
+    start, stop = local_slice_range(vol.shape[0])
+    assert (start, stop) == (0, 16)
+    part = predict_local_block_to_hdf5(
+        predictor, vol[start:stop], tmp_path / "sp", output_probs=True
+    )
+    stitched = stitch_partial_predictions([part])
+    expected, _ = predictor._predict_single_axis(vol)
+    assert np.array_equal(stitched, expected)
