@@ -88,3 +88,61 @@ def test_label_bit_packing_roundtrip(bits, maxval):
         packed = np.asarray(_pack_u8_trace(jnp.asarray(arr), bits))
         out = _unpack_u8_host(packed, bits, shape[-1])
         assert np.array_equal(out, arr)
+
+
+@pytest.mark.slow
+class TestBatchBackoff:
+    """Device-memory backoff: a sweep whose compile exhausts device memory
+    (e.g. DeepLabV3+'s VMEM-heavy decoder fusions at the throughput batch)
+    must retry at half the batch until it fits, then return correct output."""
+
+    def test_backoff_halves_batch_and_recovers(
+        self, predictor, data_vol, monkeypatch
+    ):
+        import jax
+
+        reference, _ = predictor._predict_single_axis(data_vol)
+        predictor._clear_sweep_cache()
+        predictor.batch_size = 64
+        real_get_jitted = predictor._get_jitted
+        oom_until_batch = 16
+        compile_attempts = []
+
+        def fake_get_jitted(kind, shape, fn):
+            real = real_get_jitted(kind, shape, fn)
+
+            def wrapper(*args):
+                if not kind.startswith("axis_"):
+                    return real(*args)
+                compile_attempts.append(predictor.batch_size)
+                if predictor.batch_size > oom_until_batch:
+                    raise jax.errors.JaxRuntimeError(
+                        "RESOURCE_EXHAUSTED: Allocation (size=174620672) "
+                        "would exceed memory (size=134217728)"
+                    )
+                return real(*args)
+
+            return wrapper
+
+        monkeypatch.setattr(predictor, "_get_jitted", fake_get_jitted)
+        labels, _ = predictor._predict_single_axis(data_vol)
+        assert compile_attempts == [64, 32, 16]
+        assert predictor.batch_size == 16
+        assert np.array_equal(labels, reference)
+
+    def test_non_memory_error_propagates(self, predictor, data_vol, monkeypatch):
+        import jax
+
+        predictor._clear_sweep_cache()
+
+        def fake_get_jitted(kind, shape, fn):
+            def wrapper(*args):
+                raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shape oops")
+
+            return wrapper
+
+        monkeypatch.setattr(predictor, "_get_jitted", fake_get_jitted)
+        start = predictor.batch_size
+        with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
+            predictor._predict_single_axis(data_vol)
+        assert predictor.batch_size == start

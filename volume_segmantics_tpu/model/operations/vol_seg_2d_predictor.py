@@ -169,9 +169,9 @@ class VolSeg2dPredictor:
             dp = shard_mapped_sweep(
                 lambda v, lv, lbs: self._sweep_trace(v, lv, lbs), self.mesh
             )
-            labels, probs = dp(variables, vol, self.batch_size)
+            labels, probs = dp(variables, vol, local_bs * self.n_dev)
         else:
-            labels, probs = self._sweep_trace(variables, vol)
+            labels, probs = self._sweep_trace(variables, vol, local_bs)
         labels = jax.lax.slice(labels, (0, top, left), (n, top + h, left + w))
         probs = jax.lax.slice(probs, (0, top, left), (n, top + h, left + w))
         return _rotate_to_axis_device(labels, axis), _rotate_to_axis_device(probs, axis)
@@ -193,15 +193,59 @@ class VolSeg2dPredictor:
         self._sweep_cache[key] = cached  # most-recently-used at the end
         return cached
 
+    def _clear_sweep_cache(self):
+        for fn in self._sweep_cache.values():
+            fn.clear_cache()
+        self._sweep_cache.clear()
+
+    @staticmethod
+    def _is_device_memory_error(err: Exception) -> bool:
+        msg = str(err)
+        return any(
+            s in msg
+            for s in (
+                "RESOURCE_EXHAUSTED",
+                "would exceed memory",
+                "Out of memory",
+                "out of memory",
+                "Ran out of memory",
+            )
+        )
+
+    def _run_sweep(self, kind: str, shape, trace_fn, *args):
+        """Execute a jitted model sweep, halving the batch size on device
+        memory exhaustion. VMEM-heavy decoders (e.g. DeepLabV3+'s wide
+        ASPP/decoder fusions) can exceed the chip's scoped memory at the
+        throughput-default batch (config.BIG_PRED_BATCH) on some slice
+        shapes; the batch is baked into the trace, so backoff re-traces.
+        TPU-reactive analog of the reference's free-CUDA-memory batch
+        heuristic (reference utilities/base_data_utils.py:104-122)."""
+        while True:
+            fn = self._get_jitted(kind, shape, trace_fn)
+            try:
+                return fn(*args)
+            except jax.errors.JaxRuntimeError as e:
+                floor = max(self.n_dev, 1)
+                if self.batch_size <= floor or not self._is_device_memory_error(e):
+                    raise
+                new_bs = max(self.batch_size // 2, floor)
+                logging.warning(
+                    f"Device memory exhausted compiling '{kind}' at batch "
+                    f"{self.batch_size}; retrying at {new_bs}."
+                )
+                self.batch_size = new_bs
+                self._clear_sweep_cache()
+
     def _sweep_axis_device(self, vol_dev, axis: Axis):
         """Device volume (D, H, W) uint8 -> (labels u8, probs f16) device
         volumes in the ORIGINAL orientation, as one compiled program."""
-        fn = self._get_jitted(
+        return self._run_sweep(
             f"axis_{axis.name}",
             vol_dev.shape,
             lambda variables, v, a=axis: self._axis_sweep_trace(variables, v, a),
+            self.bundle.variables,
+            vol_dev,
         )
-        return fn(self.bundle.variables, vol_dev)
 
     def _sweep_slab_device(self, raw_dev, perm, flips):
         """Sweep a RAW host-read slab that still carries the source
@@ -227,8 +271,7 @@ class VolSeg2dPredictor:
                     v = jnp.flip(v, axis=ax)
             return self._axis_sweep_trace(variables, v, Axis.Z)
 
-        fn = self._get_jitted(key, raw_dev.shape, trace)
-        return fn(self.bundle.variables, raw_dev)
+        return self._run_sweep(key, raw_dev.shape, trace, self.bundle.variables, raw_dev)
 
     # ------------------------------------------------------------------
     # Public single-axis API (host arrays, reference predictor :31-65)
@@ -330,8 +373,10 @@ class VolSeg2dPredictor:
             f"Predicting slices along 3 axes for volume {tuple(vol_dev.shape)} "
             "(single fused program)."
         )
-        fn = self._get_jitted("three_way", vol_dev.shape, self._three_way_trace)
-        return fn(self.bundle.variables, vol_dev)
+        return self._run_sweep(
+            "three_way", vol_dev.shape, self._three_way_trace,
+            self.bundle.variables, vol_dev,
+        )
 
     def _predict_3_ways_max_probs(self, data_vol, output_probs=True):
         labels, probs = self._predict_3_ways_device(self._to_device_u8(data_vol))
@@ -425,10 +470,10 @@ class VolSeg2dPredictor:
         return out
 
     def _predict_3_ways_one_hot_device(self, vol_dev):
-        fn = self._get_jitted(
-            "three_way_one_hot", vol_dev.shape, self._three_way_one_hot_trace
+        return self._run_sweep(
+            "three_way_one_hot", vol_dev.shape, self._three_way_one_hot_trace,
+            self.bundle.variables, vol_dev,
         )
-        return fn(self.bundle.variables, vol_dev)
 
     # Vote counts never exceed 12 (the sweep count), so 4-bit packing
     # always applies to one-hot downloads.
