@@ -56,6 +56,10 @@ def _pack_u8_trace(arr, bits: int):
 
 def _unpack_u8_host(packed: np.ndarray, bits: int, w: int) -> np.ndarray:
     """Host-side inverse of `_pack_u8_trace` (numpy, bandwidth-cheap)."""
+    if bits == 1:
+        # The common binary-label case: C-speed single pass (~10x the
+        # strided-assignment loop below on a 512-cube).
+        return np.ascontiguousarray(np.unpackbits(packed, axis=-1, count=w))
     per = 8 // bits
     mask = (1 << bits) - 1
     out = np.empty(packed.shape[:-1] + (packed.shape[-1] * per,), np.uint8)
