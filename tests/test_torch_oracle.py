@@ -57,33 +57,46 @@ def _randomize_norm_layers(params, stats, seed):
     walk_stats(stats)
 
 
+# (model_type, encoder_name, oracle_fn_name, oracle kwargs, image_size)
 CASES = [
-    (ModelType.U_NET, "resnet34"),
-    (ModelType.U_NET, "resnet50"),
-    (ModelType.U_NET, "resnext50_32x4d"),
-    (ModelType.DEEPLABV3, "resnet34"),
-    (ModelType.DEEPLABV3_PLUS, "resnet34"),
-    (ModelType.DEEPLABV3_PLUS, "resnet50"),
-    (ModelType.FPN, "resnet34"),
-    (ModelType.LINKNET, "resnet34"),
+    (ModelType.U_NET, "resnet34", "smp_unet_forward", {}, 64),
+    (ModelType.U_NET, "resnet50", "smp_unet_forward", {"bottleneck": True}, 64),
+    (ModelType.U_NET, "resnext50_32x4d", "smp_unet_forward",
+     {"bottleneck": True, "groups": 32}, 64),
+    (ModelType.U_NET, "efficientnet-b3", "smp_unet_efficientnet_forward",
+     {"depth_mult": 1.4}, 64),
+    (ModelType.U_NET, "efficientnet-b4", "smp_unet_efficientnet_forward",
+     {"depth_mult": 1.8}, 64),
+    (ModelType.U_NET, "timm-resnest50d", "smp_unet_resnest_forward", {}, 64),
+    (ModelType.DEEPLABV3, "resnet34", "smp_deeplabv3_forward", {}, 64),
+    (ModelType.DEEPLABV3_PLUS, "resnet34", "smp_deeplabv3plus_forward", {}, 64),
+    (ModelType.DEEPLABV3_PLUS, "resnet50", "smp_deeplabv3plus_forward",
+     {"bottleneck": True}, 64),
+    (ModelType.FPN, "resnet34", "smp_fpn_forward", {}, 64),
+    (ModelType.LINKNET, "resnet34", "smp_linknet_forward", {}, 64),
+    (ModelType.U_NET_PLUS_PLUS, "resnet34", "smp_unetpp_forward", {}, 64),
+    (ModelType.MA_NET, "resnet34", "smp_manet_forward", {}, 64),
+    # PAN's max-pool attention pyramid needs >=128 px at stride 16 (below
+    # that the torch pools would hit empty tensors).
+    (ModelType.PAN, "resnet34", "smp_pan_forward", {}, 128),
 ]
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("model_type,encoder_name", CASES,
-                         ids=[f"{m.name}-{e}" for m, e in CASES])
-def test_flax_matches_pure_torch_oracle(model_type, encoder_name):
+@pytest.mark.parametrize("model_type,encoder_name,oracle_fn,oracle_kwargs,size",
+                         CASES,
+                         ids=[f"{m.name}-{e}" for m, e, *_ in CASES])
+def test_flax_matches_pure_torch_oracle(model_type, encoder_name, oracle_fn,
+                                        oracle_kwargs, size):
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
     import torch_oracle as oracle
-    from test_torch_convert import (
-        _DECODER_INVERSES,
-        _inverse_conv,
-        _inverse_resnet_encoder,
-    )
     from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.models.torch_export import (
+        smp_state_dict_from_variables,
+    )
 
     struc = {
         "type": model_type,
@@ -102,29 +115,19 @@ def test_flax_matches_pure_torch_oracle(model_type, encoder_name):
     )
     _randomize_norm_layers(params, stats, seed=3)
 
-    # Shared weights: invert our tree into an smp-named torch state dict.
-    sd = {}
-    _inverse_resnet_encoder(sd, params["encoder"], stats["encoder"])
-    _DECODER_INVERSES[model_type](sd, params["decoder"], stats.get("decoder", {}))
-    _inverse_conv(sd, "segmentation_head.0", params["head_conv"]["kernel"],
-                  params["head_conv"]["bias"])
+    # Shared weights: invert our tree into an smp-named torch state dict
+    # through the package exporter (encoder-family aware).
+    sd = smp_state_dict_from_variables(
+        {"params": params, "batch_stats": stats}, struc
+    )
 
     rng = np.random.default_rng(5)
-    u8 = rng.integers(0, 256, (2, 64, 64), dtype=np.uint8)
+    u8 = rng.integers(0, 256, (2, size, size), dtype=np.uint8)
     x = (u8.astype(np.float32) / 255.0 - cfg.IMAGENET_MEAN) / cfg.IMAGENET_STD
 
-    oracles = {
-        ModelType.U_NET: oracle.smp_unet_forward,
-        ModelType.DEEPLABV3: oracle.smp_deeplabv3_forward,
-        ModelType.DEEPLABV3_PLUS: oracle.smp_deeplabv3plus_forward,
-        ModelType.FPN: oracle.smp_fpn_forward,
-        ModelType.LINKNET: oracle.smp_linknet_forward,
-    }
     with torch.no_grad():
-        ref = oracles[model_type](
-            torch.tensor(x[:, None]), sd,
-            bottleneck=(encoder_name != "resnet34"),
-            groups=32 if "32x4d" in encoder_name else 1,
+        ref = getattr(oracle, oracle_fn)(
+            torch.tensor(x[:, None]), sd, **oracle_kwargs
         ).numpy()
 
     variables = serialization.from_state_dict(

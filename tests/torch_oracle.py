@@ -12,6 +12,8 @@ padding / upsample numerics, independent of the weight-converter code under
 test.
 """
 
+import math
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -27,7 +29,7 @@ def _t(sd, name):
     )
 
 
-def _bn(x, sd, pre):
+def _bn(x, sd, pre, eps=BN_EPS):
     """Eval-mode BatchNorm with running statistics."""
     return F.batch_norm(
         x,
@@ -36,7 +38,7 @@ def _bn(x, sd, pre):
         _t(sd, f"{pre}.weight"),
         _t(sd, f"{pre}.bias"),
         training=False,
-        eps=BN_EPS,
+        eps=eps,
     )
 
 
@@ -302,4 +304,306 @@ def smp_linknet_forward(x, sd, bottleneck=False, groups=1):
     kernel 1, no upsample."""
     feats = resnet_encoder_features(x, sd, bottleneck=bottleneck, groups=groups)
     return _head(linknet_decoder_forward(feats, sd), sd, kernel_size=1,
+                 upsampling=1)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet encoder (smp efficientnet-bX semantics: TF "SAME" padding,
+# BN eps 1e-3, SiLU, SE on every MBConv)
+# ---------------------------------------------------------------------------
+
+# Base (B0) stage table: (expand, kernel, stride, channels, repeats) — the
+# published EfficientNet architecture (Tan & Le 2019, Table 1).
+_EFFNET_B0_STAGES = (
+    (1, 3, 1, 16, 1),
+    (6, 3, 2, 24, 2),
+    (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3),
+    (6, 5, 1, 112, 3),
+    (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1),
+)
+
+
+def _conv_same(x, sd, name, k, stride=1, dilation=1, groups=1):
+    """Conv with TF "SAME" padding (pads bottom/right more when odd), the
+    convention the reference's efficientnet encoders use."""
+    eff = (k - 1) * dilation + 1
+    ih, iw = x.shape[-2:]
+    ph = max((math.ceil(ih / stride) - 1) * stride + eff - ih, 0)
+    pw = max((math.ceil(iw / stride) - 1) * stride + eff - iw, 0)
+    x = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    return F.conv2d(x, _t(sd, f"{name}.weight"), None, stride, 0, dilation,
+                    groups)
+
+
+def _effnet_se(x, sd, t):
+    s = x.mean(dim=(2, 3), keepdim=True)
+    s = F.silu(_conv(s, sd, f"{t}.se.conv_reduce"))
+    s = torch.sigmoid(_conv(s, sd, f"{t}.se.conv_expand"))
+    return x * s
+
+
+def _effnet_block(x, sd, t, k, stride, dilation=1):
+    """MBConv (InvertedResidual) / DepthwiseSeparable (stage 1) in eval
+    mode; skip connection when stride 1 and channels match."""
+    identity = x
+    if f"{t}.conv_pwl.weight" in sd:
+        h = F.silu(_bn(_conv(x, sd, f"{t}.conv_pw"), sd, f"{t}.bn1", 1e-3))
+        h = F.silu(
+            _bn(_conv_same(h, sd, f"{t}.conv_dw", k, stride, dilation,
+                           groups=h.shape[1]), sd, f"{t}.bn2", 1e-3)
+        )
+        h = _effnet_se(h, sd, t)
+        h = _bn(_conv(h, sd, f"{t}.conv_pwl"), sd, f"{t}.bn3", 1e-3)
+    else:
+        h = F.silu(
+            _bn(_conv_same(x, sd, f"{t}.conv_dw", k, stride, dilation,
+                           groups=x.shape[1]), sd, f"{t}.bn1", 1e-3)
+        )
+        h = _effnet_se(h, sd, t)
+        h = _bn(_conv(h, sd, f"{t}.conv_pw"), sd, f"{t}.bn2", 1e-3)
+    if stride == 1 and h.shape[1] == identity.shape[1]:
+        h = h + identity
+    return h
+
+
+def efficientnet_encoder_features(x, sd, depth_mult):
+    """smp efficientnet-bX encoder: 6 features [identity, stem, stage2,
+    stage3, stage5, stage7] at strides [1, 2, 4, 8, 16, 32]."""
+    feats = [x]
+    h = F.silu(
+        _bn(_conv_same(x, sd, "encoder.conv_stem", 3, 2), sd, "encoder.bn1",
+            1e-3)
+    )
+    feats.append(h)
+    for stage_idx, (_, k, s, _, r) in enumerate(_EFFNET_B0_STAGES):
+        for b in range(int(math.ceil(depth_mult * r))):
+            h = _effnet_block(h, sd, f"encoder.blocks.{stage_idx}.{b}", k,
+                              s if b == 0 else 1)
+        if stage_idx + 1 in (2, 3, 5, 7):
+            feats.append(h)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# ResNeSt encoder (timm-resnestXX semantics: deep 3-conv stem, radix-2
+# split-attention 3x3, avd average-pool downsampling, avg-down shortcut)
+# ---------------------------------------------------------------------------
+
+
+def _splat_conv(x, sd, t, radix=2):
+    """Split-Attention conv (ResNeSt SplAtConv2d, cardinality 1)."""
+    h = F.relu(_bn(_conv(x, sd, f"{t}.conv", padding=1, groups=radix),
+                   sd, f"{t}.bn0"))
+    n, rc, hh, ww = h.shape
+    c = rc // radix
+    splits = h.view(n, radix, c, hh, ww)
+    gap = splits.sum(dim=1).mean(dim=(2, 3), keepdim=True)
+    a = F.relu(_bn(_conv(gap, sd, f"{t}.fc1"), sd, f"{t}.bn1"))
+    a = _conv(a, sd, f"{t}.fc2")
+    att = torch.softmax(a.view(n, radix, c), dim=1).view(n, radix, c, 1, 1)
+    return (splits * att).sum(dim=1)
+
+
+def _resnest_block(x, sd, pre, stride):
+    h = F.relu(_bn(_conv(x, sd, f"{pre}.conv1"), sd, f"{pre}.bn1"))
+    h = _splat_conv(h, sd, f"{pre}.conv2")
+    if stride > 1:
+        # avd: 3x3 average pool after the split-attention conv
+        h = F.avg_pool2d(h, 3, stride, padding=1)
+    h = _bn(_conv(h, sd, f"{pre}.conv3"), sd, f"{pre}.bn3")
+    identity = x
+    if f"{pre}.downsample.1.weight" in sd:
+        if stride > 1:
+            identity = F.avg_pool2d(x, stride, stride, ceil_mode=True,
+                                    count_include_pad=False)
+        identity = _bn(_conv(identity, sd, f"{pre}.downsample.1"),
+                       sd, f"{pre}.downsample.2")
+    return F.relu(h + identity)
+
+
+def resnest_encoder_features(x, sd):
+    """timm-resnestXX encoder: 6 features at strides [1, 2, 4, 8, 16, 32]."""
+    feats = [x]
+    h = F.relu(_bn(_conv(x, sd, "encoder.conv1.0", stride=2, padding=1),
+                   sd, "encoder.conv1.1"))
+    h = F.relu(_bn(_conv(h, sd, "encoder.conv1.3", padding=1),
+                   sd, "encoder.conv1.4"))
+    h = F.relu(_bn(_conv(h, sd, "encoder.conv1.6", padding=1),
+                   sd, "encoder.bn1"))
+    feats.append(h)
+    h = F.max_pool2d(h, 3, 2, 1)
+    for stage in (1, 2, 3, 4):
+        b = 0
+        while f"encoder.layer{stage}.{b}.conv1.weight" in sd:
+            stride = 2 if (b == 0 and stage > 1) else 1
+            h = _resnest_block(h, sd, f"encoder.layer{stage}.{b}", stride)
+            b += 1
+        feats.append(h)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# U-Net++ / MA-Net / PAN decoders
+# ---------------------------------------------------------------------------
+
+
+def unetpp_decoder_forward(feats_all, sd):
+    """smp UnetPlusPlusDecoder: dense grid of blocks x_{a}_{b} (b = dense
+    level, b - a = column); each block nearest-x2 upsamples its input and
+    concatenates [same-level denser nodes newest-first, encoder skip]."""
+    feats = feats_all[1:][::-1]
+    depth = len(feats) - 1
+
+    def block(name, x, skips):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        if skips:
+            x = torch.cat([x] + skips, dim=1)
+        t = f"decoder.blocks.{name}"
+        x = _cbr(x, sd, f"{t}.conv1.0", f"{t}.conv1.1")
+        return _cbr(x, sd, f"{t}.conv2.0", f"{t}.conv2.1")
+
+    dense = {}
+    for layer in range(depth):
+        for a in range(depth - layer):
+            b = a + layer
+            if layer == 0:
+                dense[(a, b)] = block(f"x_{a}_{b}", feats[a], [feats[a + 1]])
+            else:
+                skips = [dense[(i, b)] for i in range(a + 1, b + 1)]
+                dense[(a, b)] = block(f"x_{a}_{b}", dense[(a, b - 1)],
+                                      skips + [feats[b + 1]])
+    return block(f"x_0_{depth}", dense[(0, depth - 1)], [])
+
+
+def _pab_forward(x, sd, t):
+    """smp MAnet PAB, including its reshape quirk: the (N, HW, C) attention
+    output is reinterpreted row-major as (N, C, H, W), not transposed."""
+    n, c, h, w = x.shape
+    top = _conv(x, sd, f"{t}.top_conv")
+    center = _conv(x, sd, f"{t}.center_conv")
+    bottom = _conv(x, sd, f"{t}.bottom_conv", padding=1)
+    att = torch.matmul(center.flatten(2).transpose(1, 2), top.flatten(2))
+    att = torch.softmax(att.view(n, -1), dim=1).view(n, h * w, h * w)
+    sp = torch.matmul(att, bottom.flatten(2).transpose(1, 2))  # (n, hw, c)
+    sp = sp.reshape(n, c, h, w)
+    return _conv(x + sp, sd, f"{t}.out_conv", padding=1)
+
+
+def _channel_se(x, sd, t):
+    s = x.mean(dim=(2, 3), keepdim=True)
+    s = F.relu(_conv(s, sd, f"{t}.1"))
+    return torch.sigmoid(_conv(s, sd, f"{t}.3"))
+
+
+def manet_decoder_forward(feats_all, sd):
+    """smp MAnetDecoder: PAB on the deepest feature, MFAB per skip (summed
+    hl/ll channel attention, concat, 2x Conv2dReLU), plain block last."""
+    feats = feats_all[1:][::-1]
+    x = _pab_forward(feats[0], sd, "decoder.center")
+    skips = list(feats[1:]) + [None]
+    i = 0
+    while f"decoder.blocks.{i}.conv1.0.weight" in sd:
+        t = f"decoder.blocks.{i}"
+        skip = skips[i]
+        if skip is not None:
+            h = _cbr(x, sd, f"{t}.hl_conv.0.0", f"{t}.hl_conv.0.1")
+            h = _cbr(h, sd, f"{t}.hl_conv.1.0", f"{t}.hl_conv.1.1", padding=0)
+            h = F.interpolate(h, scale_factor=2, mode="nearest")
+            att = _channel_se(h, sd, f"{t}.SE_hl") + _channel_se(
+                skip, sd, f"{t}.SE_ll")
+            h = torch.cat([h * att, skip], dim=1)
+        else:
+            h = F.interpolate(x, scale_factor=2, mode="nearest")
+        x = _cbr(h, sd, f"{t}.conv1.0", f"{t}.conv1.1")
+        x = _cbr(x, sd, f"{t}.conv2.0", f"{t}.conv2.1")
+        i += 1
+    return x
+
+
+def _pan_cbr(x, sd, t, k, relu=True):
+    """smp PAN ConvBnRelu: conv WITH bias -> BN (-> ReLU)."""
+    y = _bn(_conv(x, sd, f"{t}.conv", padding=k // 2), sd, f"{t}.bn")
+    return F.relu(y) if relu else y
+
+
+def _up_ac(x, h, w):
+    return F.interpolate(x, size=(h, w), mode="bilinear", align_corners=True)
+
+
+def _fpa_forward(x, sd, t):
+    """smp PAN FPABlock: global branch + 1x1 mid branch + 7/5/3 max-pool
+    attention pyramid, merged mid * attention + global (align_corners=True
+    interpolation throughout)."""
+    n, c, h, w = x.shape
+    b1 = _pan_cbr(x.mean(dim=(2, 3), keepdim=True), sd, f"{t}.branch1.1", 1)
+    b1 = _up_ac(b1, h, w)
+    mid = _pan_cbr(x, sd, f"{t}.mid.0", 1)
+    x1 = _pan_cbr(F.max_pool2d(x, 2, 2), sd, f"{t}.down1.1", 7)
+    x2 = _pan_cbr(F.max_pool2d(x1, 2, 2), sd, f"{t}.down2.1", 5)
+    x3 = _pan_cbr(F.max_pool2d(x2, 2, 2), sd, f"{t}.down3.1", 3)
+    x3 = _pan_cbr(x3, sd, f"{t}.down3.2", 3)
+    y = _pan_cbr(x2, sd, f"{t}.conv2", 5) + _up_ac(x3, h // 4, w // 4)
+    y = _up_ac(y, h // 2, w // 2) + _pan_cbr(x1, sd, f"{t}.conv1", 7)
+    return _up_ac(y, h, w) * mid + b1
+
+
+def _gau_forward(x_low, y_high, sd, t):
+    """smp PAN GAUBlock: low-level gated by sigmoid(global(high)), added to
+    align-corners-upsampled high-level path."""
+    y_up = _up_ac(y_high, x_low.shape[2], x_low.shape[3])
+    xc = _pan_cbr(x_low, sd, f"{t}.conv2", 3)
+    g = torch.sigmoid(
+        _pan_cbr(y_high.mean(dim=(2, 3), keepdim=True), sd, f"{t}.conv1.1", 1,
+                 relu=False)
+    )
+    return y_up + xc * g
+
+
+def pan_decoder_forward(feats, sd):
+    x = _fpa_forward(feats[-1], sd, "decoder.fpa")
+    x = _gau_forward(feats[-2], x, sd, "decoder.gau3")
+    x = _gau_forward(feats[-3], x, sd, "decoder.gau2")
+    x = _gau_forward(feats[-4], x, sd, "decoder.gau1")
+    return x
+
+
+def smp_unetpp_forward(x, sd, bottleneck=False, groups=1):
+    """smp.UnetPlusPlus(resnetXX): default encoder, dense decoder, head
+    kernel 3, no upsample."""
+    feats = resnet_encoder_features(x, sd, bottleneck=bottleneck, groups=groups)
+    return _head(unetpp_decoder_forward(feats, sd), sd, kernel_size=3,
+                 upsampling=1)
+
+
+def smp_manet_forward(x, sd, bottleneck=False, groups=1):
+    """smp.MAnet(resnetXX): default encoder, PAB+MFAB decoder, head
+    kernel 3, no upsample."""
+    feats = resnet_encoder_features(x, sd, bottleneck=bottleneck, groups=groups)
+    return _head(manet_decoder_forward(feats, sd), sd, kernel_size=3,
+                 upsampling=1)
+
+
+def smp_pan_forward(x, sd, bottleneck=False, groups=1):
+    """smp.PAN(resnetXX): encoder dilated to output_stride 16 (stage 4 at
+    rate 2), FPA+GAU decoder, head kernel 3, x4 upsample."""
+    feats = resnet_encoder_features(
+        x, sd, bottleneck=bottleneck, groups=groups, dilate={4: 2}
+    )
+    return _head(pan_decoder_forward(feats, sd), sd, kernel_size=3,
+                 upsampling=4)
+
+
+def smp_unet_efficientnet_forward(x, sd, depth_mult):
+    """smp.Unet(efficientnet-bX) eval forward."""
+    feats = efficientnet_encoder_features(x, sd, depth_mult)
+    return _head(unet_decoder_forward(feats, sd), sd, kernel_size=3,
+                 upsampling=1)
+
+
+def smp_unet_resnest_forward(x, sd):
+    """smp.Unet(timm-resnestXXX) eval forward."""
+    feats = resnest_encoder_features(x, sd)
+    return _head(unet_decoder_forward(feats, sd), sd, kernel_size=3,
                  upsampling=1)
