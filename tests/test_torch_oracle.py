@@ -68,6 +68,9 @@ CASES = [
     (ModelType.U_NET, "efficientnet-b4", "smp_unet_efficientnet_forward",
      {"depth_mult": 1.8}, 64),
     (ModelType.U_NET, "timm-resnest50d", "smp_unet_resnest_forward", {}, 64),
+    (ModelType.U_NET, "timm-resnest101e", "smp_unet_resnest_forward", {}, 64),
+    (ModelType.DEEPLABV3_PLUS, "efficientnet-b3",
+     "smp_deeplabv3plus_efficientnet_forward", {"depth_mult": 1.4}, 64),
     (ModelType.DEEPLABV3, "resnet34", "smp_deeplabv3_forward", {}, 64),
     (ModelType.DEEPLABV3_PLUS, "resnet34", "smp_deeplabv3plus_forward", {}, 64),
     (ModelType.DEEPLABV3_PLUS, "resnet50", "smp_deeplabv3plus_forward",

@@ -368,19 +368,30 @@ def _effnet_block(x, sd, t, k, stride, dilation=1):
     return h
 
 
-def efficientnet_encoder_features(x, sd, depth_mult):
+def efficientnet_encoder_features(x, sd, depth_mult, output_stride=32):
     """smp efficientnet-bX encoder: 6 features [identity, stem, stage2,
-    stage3, stage5, stage7] at strides [1, 2, 4, 8, 16, 32]."""
+    stage3, stage5, stage7] at strides [1, 2, 4, 8, 16, 32]. With
+    output_stride 16/8, deeper stage strides become dilations (smp
+    make_dilated semantics)."""
     feats = [x]
     h = F.silu(
         _bn(_conv_same(x, sd, "encoder.conv_stem", 3, 2), sd, "encoder.bn1",
             1e-3)
     )
     feats.append(h)
+    current_stride, dilation = 2, 1
     for stage_idx, (_, k, s, _, r) in enumerate(_EFFNET_B0_STAGES):
         for b in range(int(math.ceil(depth_mult * r))):
+            stride = s if b == 0 else 1
+            d = dilation
+            if stride > 1 and current_stride * stride > output_stride:
+                dilation *= stride
+                d = dilation
+                stride = 1
+            elif stride > 1:
+                current_stride *= stride
             h = _effnet_block(h, sd, f"encoder.blocks.{stage_idx}.{b}", k,
-                              s if b == 0 else 1)
+                              stride, d)
         if stage_idx + 1 in (2, 3, 5, 7):
             feats.append(h)
     return feats
@@ -600,6 +611,14 @@ def smp_unet_efficientnet_forward(x, sd, depth_mult):
     feats = efficientnet_encoder_features(x, sd, depth_mult)
     return _head(unet_decoder_forward(feats, sd), sd, kernel_size=3,
                  upsampling=1)
+
+
+def smp_deeplabv3plus_efficientnet_forward(x, sd, depth_mult):
+    """smp.DeepLabV3Plus(efficientnet-bX): encoder dilated to output_stride
+    16, separable-ASPP decoder, head kernel 1, x4 upsample."""
+    feats = efficientnet_encoder_features(x, sd, depth_mult, output_stride=16)
+    return _head(deeplabv3plus_decoder_forward(feats, sd), sd, kernel_size=1,
+                 upsampling=4)
 
 
 def smp_unet_resnest_forward(x, sd):
