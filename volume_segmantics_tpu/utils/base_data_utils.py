@@ -350,20 +350,24 @@ def make_clip_to_uint8_transform(data_mean: float, data_st_dev: float,
 
 
 def streaming_downsample_to_memmap(vol, out_path, slab_slices: int = 64):
-    """Slab-streamed 2x block-mean downsample into a float32 memmap
-    (bounded host memory; lazy-ingest counterpart of downsample_data)."""
+    """Slab-streamed 2x block-mean downsample into a float64 memmap
+    (bounded host memory; lazy-ingest counterpart of downsample_data).
+
+    float64 keeps the stored block means bit-identical to the eager
+    `downsample_data` path, so downstream clip_to_uint8 quantisation cannot
+    differ by a gray level at rounding boundaries. The memmap is disk-backed
+    and 1/8 the source voxel count, so 8-byte elements cost the same bytes
+    as a uint8 copy of the source volume."""
     z, y, x = vol.shape
     out_shape = ((z + 1) // 2, (y + 1) // 2, (x + 1) // 2)
     out = np.lib.format.open_memmap(
-        out_path, mode="w+", shape=out_shape, dtype=np.float32
+        out_path, mode="w+", shape=out_shape, dtype=np.float64
     )
     slab_slices += slab_slices % 2  # keep slabs aligned to slice pairs
     for start in range(0, z, slab_slices):
         stop = min(start + slab_slices, z)
         chunk = np.asarray(vol[start:stop])
-        out[start // 2: (stop + 1) // 2] = downsample_data(chunk).astype(
-            np.float32
-        )
+        out[start // 2: (stop + 1) // 2] = downsample_data(chunk)
     return out
 
 
