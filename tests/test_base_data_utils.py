@@ -246,3 +246,24 @@ def test_lazy_hdf5_volume_transform_and_dtype(tmp_path):
     assert np.array_equal(chunk, expected)
     assert lazy.max_read_voxels == 2 * 4 * 4
     lazy.close()
+
+
+class TestEarlyStoppingFlag:
+    def test_early_stop_flag_is_sticky(self, tmp_path):
+        """Once patience is exhausted the flag stays raised even if a later
+        epoch improves and then stagnates again (consumers may re-inspect
+        the flag after restoring counters on resume)."""
+        from unittest.mock import patch
+
+        from volume_segmantics_tpu.utils.early_stopping import EarlyStopping
+
+        es = EarlyStopping(patience=2, path=tmp_path / "ckpt.pytorch")
+        with patch.object(EarlyStopping, "save_checkpoint"):
+            es(1.0, None, None, {})          # best
+            es(1.5, None, None, {})          # stagnate 1
+            es(1.5, None, None, {})          # stagnate 2 -> raised
+            assert es.early_stop
+            es(0.5, None, None, {})          # improvement resets counter
+            assert es.counter == 0
+            es(0.9, None, None, {})          # single stagnation
+            assert es.early_stop             # still raised (sticky)

@@ -1,5 +1,7 @@
 """Streaming large-volume predictor: equivalence with the in-memory path."""
 
+from pathlib import Path
+
 import h5py
 import numpy as np
 import pytest
@@ -339,6 +341,83 @@ def test_manager_lazy_ingest_with_downsample(model_path, prediction_settings,
     # The streamed downsample stores float64 block means, bit-identical to
     # the eager path, so the predictions must agree exactly.
     np.testing.assert_array_equal(np.asarray(lazy_result), np.asarray(baseline))
+    del prediction_settings.lazy_ingest_threshold
+    del prediction_settings.streaming_slab_size
+    prediction_settings.downsample = False
+
+
+@pytest.mark.slow
+def test_manager_lazy_ingest_nonuint8_no_clip(model_path, prediction_settings,
+                                              tmp_path):
+    """clip_data=False with a non-uint8 source: the lazy path must apply
+    the same uint8 cast the eager pipeline applies (nan_to_num + truncating
+    astype for floats, mod-256 wrap for ints) — predictions may not depend
+    on whether the volume crossed the lazy-ingest size threshold."""
+    import volume_segmantics_tpu.utils.base_data_utils as utils
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    rng = np.random.default_rng(21)
+    for src_vol, name in [
+        (rng.integers(0, 4000, (12, 34, 21)).astype(np.uint16), "u16.h5"),
+        ((rng.normal(90.0, 40.0, (12, 34, 21))).astype(np.float32), "f32.h5"),
+    ]:
+        src = tmp_path / name
+        with h5py.File(src, "w") as f:
+            f.create_dataset("/data", data=src_vol, chunks=(4, 34, 21))
+
+        prediction_settings.clip_data = False
+        mgr_eager = VolSeg2DPredictionManager(model_path, src,
+                                              prediction_settings)
+        baseline = mgr_eager.predict_volume_to_path(None, Quality.LOW)
+
+        prediction_settings.lazy_ingest_threshold = 1000
+        prediction_settings.streaming_slab_size = 4
+        mgr_lazy = VolSeg2DPredictionManager(model_path, src,
+                                             prediction_settings)
+        assert isinstance(mgr_lazy.data_vol, utils.LazyHDF5Volume)
+        assert mgr_lazy.data_vol.dtype == np.uint8
+        lazy_result = mgr_lazy.predict_volume_to_path(None, Quality.LOW)
+        np.testing.assert_array_equal(
+            np.asarray(lazy_result), np.asarray(baseline)
+        )
+        del prediction_settings.lazy_ingest_threshold
+        del prediction_settings.streaming_slab_size
+        prediction_settings.clip_data = True
+
+
+@pytest.mark.slow
+def test_manager_lazy_downsample_materialises_when_small(
+    model_path, prediction_settings, tmp_path
+):
+    """A lazy source whose 2x-downsampled volume fits the in-memory regime
+    is materialised (fast fused prediction path) and the scratch memmap
+    directory is removed."""
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    rng = np.random.default_rng(22)
+    vol = rng.normal(80.0, 20.0, (12, 34, 22)).astype(np.float32)
+    src = tmp_path / "small_after_ds.h5"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("/data", data=vol, chunks=(4, 34, 22))
+
+    prediction_settings.clip_data = True
+    prediction_settings.downsample = True
+    mgr_eager = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    baseline = mgr_eager.predict_volume_to_path(None, Quality.MEDIUM)
+
+    # Downsampled size 6*17*11 = 1122 > threshold 1000 stays lazy (covered
+    # by test_manager_lazy_ingest_with_downsample); threshold 2000
+    # materialises.
+    prediction_settings.lazy_ingest_threshold = 1200
+    prediction_settings.streaming_slab_size = 4
+    # The source itself must still exceed the threshold to be lazy-ingested.
+    assert vol.size > 1200
+    mgr = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    assert isinstance(mgr.data_vol, np.ndarray)
+    assert mgr.data_vol_shape == (6, 17, 11)
+    assert not Path(mgr._downsample_dir).exists()
+    result = mgr.predict_volume_to_path(None, Quality.MEDIUM)
+    np.testing.assert_array_equal(np.asarray(result), np.asarray(baseline))
     del prediction_settings.lazy_ingest_threshold
     del prediction_settings.streaming_slab_size
     prediction_settings.downsample = False

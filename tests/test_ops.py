@@ -222,3 +222,25 @@ class TestAlignCornersResize:
         y = np.asarray(resize_align_corners(x, 4, 3))
         assert y.shape == (1, 4, 3, 2)
         assert np.allclose(y, np.broadcast_to(np.asarray(x), (1, 4, 3, 2)))
+
+    def test_resize_to_align_corners_any_direction(self):
+        """resize_to(align_corners=True) must honour the mapping for
+        DOWNsampling too (it delegates to resize_align_corners rather than
+        silently falling through to the half-pixel path)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from volume_segmantics_tpu.models.layers import resize_to
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 8, 12, 3)).astype(np.float32)
+        for out_h, out_w in ((4, 6), (16, 6), (16, 24)):
+            ours = np.asarray(
+                resize_to(jnp.asarray(x), out_h, out_w, "bilinear",
+                          align_corners=True)
+            )
+            ref = F.interpolate(
+                torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                size=(out_h, out_w), mode="bilinear", align_corners=True,
+            ).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(ours, ref, atol=2e-5)

@@ -56,8 +56,6 @@ class BaseDataManager:
             self._preprocess_data()
 
     def _lazy_threshold(self) -> int:
-        import volume_segmantics_tpu.utils.config as cfg  # noqa: F401
-
         return int(
             getattr(
                 self.settings,
@@ -100,6 +98,12 @@ class BaseDataManager:
         vol = self.data_vol
         if self.downsample:
             vol = utils.downsample_data(vol)
+        self._finish_preprocess_eager(vol)
+
+    def _finish_preprocess_eager(self, vol) -> None:
+        """Mean / clip / NaN-scrub tail of the eager preprocessing (also
+        reused when a lazy source's streamed downsample turns out small
+        enough to materialise)."""
         logging.info("Calculating mean of data...")
         self.data_mean = np.nanmean(vol)
         logging.info(f"Mean value: {self.data_mean}")
@@ -119,7 +123,9 @@ class BaseDataManager:
         src = self.data_vol
         slab = int(getattr(self.settings, "streaming_slab_size", 64))
         if self.downsample:
+            import shutil
             import tempfile
+            import weakref
 
             self._downsample_dir = tempfile.mkdtemp(prefix="volseg_ds_")
             logging.info("Slab-streaming 2x downsample to a memmap.")
@@ -127,6 +133,18 @@ class BaseDataManager:
                 src, Path(self._downsample_dir) / "downsampled.npy",
                 slab_slices=slab,
             )
+            src.close()  # the HDF5 source has been fully consumed
+            if ds_mm.size <= self._lazy_threshold():
+                # The downsampled volume fits the in-memory regime: finish
+                # with the eager tail (bit-identical numerics — the streamed
+                # downsample stores the same float64 block means) so
+                # prediction takes the fast fused path, and drop the
+                # scratch memmap immediately.
+                vol = np.array(ds_mm)
+                del ds_mm
+                shutil.rmtree(self._downsample_dir, ignore_errors=True)
+                self._finish_preprocess_eager(vol)
+                return
             logging.info("Calculating mean of data...")
             self.data_mean = float(utils.streaming_nanmean(ds_mm, slab))
             logging.info(f"Mean value: {self.data_mean}")
@@ -135,11 +153,17 @@ class BaseDataManager:
                 transform = utils.make_clip_to_uint8_transform(
                     self.data_mean, st_dev, self.st_dev_factor
                 )
-                vol = _TransformedVolume(ds_mm, transform, np.uint8)
             else:
-                vol = _TransformedVolume(
-                    ds_mm, lambda c: np.nan_to_num(c), ds_mm.dtype
-                )
+                # Match the eager pipeline end to end: NaN scrub followed by
+                # the predictor's uint8 device cast, applied at read time.
+                def transform(c):
+                    return np.nan_to_num(c).astype(np.uint8)
+
+            vol = _TransformedVolume(ds_mm, transform, np.uint8)
+            # The scratch memmap lives exactly as long as its reader.
+            weakref.finalize(
+                vol, shutil.rmtree, self._downsample_dir, ignore_errors=True
+            )
             self.data_vol = vol
             self.data_vol_shape = vol.shape
             return
@@ -156,7 +180,16 @@ class BaseDataManager:
                 np.uint8,
             )
         elif np.issubdtype(src.dtype, np.floating):
-            src.set_transform(lambda c: np.nan_to_num(c), src.dtype)
+            # nan_to_num + uint8 truncation: exactly what the eager path
+            # does (scrub in _finish_preprocess_eager, cast in the
+            # predictor's _to_device_u8).
+            src.set_transform(
+                lambda c: np.nan_to_num(c).astype(np.uint8), np.uint8
+            )
+        elif src.dtype != np.uint8:
+            # Integer sources wrap mod 256, same as the eager path's
+            # astype(np.uint8).
+            src.set_transform(lambda c: c.astype(np.uint8), np.uint8)
         self.data_vol_shape = src.shape
 
 

@@ -121,7 +121,9 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 )
             else:
                 prediction, probs = self.predictor._predict_single_axis(
-                    self.data_vol, axis=preferred_axis
+                    self.data_vol,
+                    output_probs=bool(self.settings.output_probs),
+                    axis=preferred_axis,
                 )
         if quality == utils.Quality.MEDIUM:
             if one_hot:

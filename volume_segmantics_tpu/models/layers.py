@@ -231,19 +231,20 @@ def resize_to(
     import jax
 
     n, in_h, in_w, c = x.shape
+    if method == "bilinear" and align_corners:
+        # resize_align_corners implements torch's align_corners=True mapping
+        # for any output size (up or down) — never silently fall through to
+        # the half-pixel path.
+        return resize_align_corners(x, out_h, out_w)
     if method == "bilinear" and out_h >= in_h and out_w >= in_w:
-        if align_corners:
-            w_h = _align_corners_matrix(out_h, in_h)
-            w_w = _align_corners_matrix(out_w, in_w)
-        else:
-            w_h = jax.image.resize(
-                jnp.eye(in_h, dtype=jnp.float32), (out_h, in_h),
-                method="bilinear"
-            )
-            w_w = jax.image.resize(
-                jnp.eye(in_w, dtype=jnp.float32), (out_w, in_w),
-                method="bilinear"
-            )
+        w_h = jax.image.resize(
+            jnp.eye(in_h, dtype=jnp.float32), (out_h, in_h),
+            method="bilinear"
+        )
+        w_w = jax.image.resize(
+            jnp.eye(in_w, dtype=jnp.float32), (out_w, in_w),
+            method="bilinear"
+        )
         y = jnp.einsum(
             "nhwc,Hh->nHwc", x, w_h.astype(x.dtype),
             preferred_element_type=jnp.float32,

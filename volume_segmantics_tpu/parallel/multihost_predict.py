@@ -63,8 +63,6 @@ def predict_local_block_to_hdf5(
     global_vol = jax.make_array_from_process_local_data(sharding, local_block)
     n_global = global_vol.shape[0]
     pid = jax.process_index()
-    if global_start is None:
-        global_start = pid * local_block.shape[0]
 
     fn = jax.jit(
         lambda variables, v: predictor._axis_sweep_trace(variables, v, Axis.Z),
@@ -78,7 +76,11 @@ def predict_local_block_to_hdf5(
         )
         rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         start = shards[0].index[0].start or 0
-        return rows, start
+        # With the standard contiguous split a process's addressable output
+        # rows are exactly the rows it fed; an explicit `global_start`
+        # overrides the recorded stitch offset for callers embedding this
+        # block at a custom position in a larger frame.
+        return rows, (start if global_start is None else int(global_start))
 
     labels, start = local_rows(labels_d)
     out = Path(f"{out_stem}_part{pid:04d}.h5")

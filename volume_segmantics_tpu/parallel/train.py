@@ -81,6 +81,10 @@ def build_dp_train_step(
     if tx is None:
         tx = make_base_optimizer(weight_decay)
     _check_tx_sign_convention(tx)
+    if mesh is None:
+        from volume_segmantics_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
     mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)

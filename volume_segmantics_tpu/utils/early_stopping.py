@@ -54,7 +54,8 @@ class EarlyStopping:
             logging.info(
                 f"EarlyStopping counter: {self.counter} out of {self.patience}"
             )
-            self.early_stop = self.counter >= self.patience
+            if self.counter >= self.patience:
+                self.early_stop = True  # sticky once raised
             return
         self.counter = 0
         self.best_score = score
