@@ -502,3 +502,65 @@ def test_export_torch_checkpoint_roundtrip(tmp_path):
     for (path, a), b in zip(orig_leaves,
                             jax.tree_util.tree_leaves(restored)):
         assert np.array_equal(np.asarray(a), np.asarray(b)), path
+
+
+@pytest.mark.slow
+def test_efficientnet_lukemelas_checkpoint_interop():
+    """The reference's "efficientnet-bX" encoders are the lukemelas
+    efficientnet_pytorch modules (flat `_blocks.{i}` naming, `_conv_stem`/
+    `_bn0` stem, inert `_conv_head`/`_bn1` classification tail). Export
+    must emit exactly that naming and import must accept it, round-tripping
+    every leaf."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.models.torch_convert import convert_smp_state_dict
+    from volume_segmantics_tpu.models.torch_export import (
+        smp_state_dict_from_variables,
+    )
+
+    struc = {
+        "type": ModelType.U_NET,
+        "encoder_name": "efficientnet-b3",
+        "encoder_weights": None,
+        "in_channels": 1,
+        "classes": 3,
+    }
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(5))
+    sd = smp_state_dict_from_variables(bundle.variables, struc)
+
+    # Exported naming is lukemelas style with the classification tail.
+    assert "encoder._conv_stem.weight" in sd
+    assert "encoder._bn0.weight" in sd
+    # b3 stage 1 = ceil(1.4 * 1) = 2 no-expand blocks; stage 2 starts at
+    # flat index 2 with the first expanded MBConv.
+    assert "encoder._blocks.0._depthwise_conv.weight" in sd
+    assert "encoder._blocks.1._expand_conv.weight" not in sd
+    assert "encoder._blocks.2._expand_conv.weight" in sd
+    # b3: depth multiplier 1.4 -> ceil(1.4 * [1,2,2,3,3,4,1]) = 26 blocks.
+    assert "encoder._blocks.25._project_conv.weight" in sd
+    assert "encoder._blocks.26._depthwise_conv.weight" not in sd
+    assert sd["encoder._conv_head.weight"].shape == (1536, 384, 1, 1)
+    assert "encoder._bn1.running_var" in sd
+    assert "encoder._bn1.num_batches_tracked" in sd
+    assert not any(".conv_pw." in k or ".conv_stem." in k for k in sd)
+
+    # Import accepts the lukemelas naming and round-trips every leaf.
+    state = convert_smp_state_dict(sd, struc)
+    params = jax.tree_util.tree_map(np.asarray, bundle.variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, bundle.variables["batch_stats"]
+    )
+    merged = serialization.from_state_dict(params, state["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(merged)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert len(jax.tree_util.tree_leaves(state["params"])) == len(
+        jax.tree_util.tree_leaves(params)
+    )
+    merged_stats = serialization.from_state_dict(stats, state["batch_stats"])
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(merged_stats)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

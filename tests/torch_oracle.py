@@ -339,47 +339,47 @@ def _conv_same(x, sd, name, k, stride=1, dilation=1, groups=1):
 
 def _effnet_se(x, sd, t):
     s = x.mean(dim=(2, 3), keepdim=True)
-    s = F.silu(_conv(s, sd, f"{t}.se.conv_reduce"))
-    s = torch.sigmoid(_conv(s, sd, f"{t}.se.conv_expand"))
+    s = F.silu(_conv(s, sd, f"{t}._se_reduce"))
+    s = torch.sigmoid(_conv(s, sd, f"{t}._se_expand"))
     return x * s
 
 
 def _effnet_block(x, sd, t, k, stride, dilation=1):
-    """MBConv (InvertedResidual) / DepthwiseSeparable (stage 1) in eval
-    mode; skip connection when stride 1 and channels match."""
+    """lukemelas MBConvBlock in eval mode (the module smp's
+    "efficientnet-bX" encoders are built from): optional `_expand_conv` +
+    `_bn0`, then `_depthwise_conv` + `_bn1`, SE, `_project_conv` + `_bn2`;
+    skip connection when stride 1 and channels match."""
     identity = x
-    if f"{t}.conv_pwl.weight" in sd:
-        h = F.silu(_bn(_conv(x, sd, f"{t}.conv_pw"), sd, f"{t}.bn1", 1e-3))
-        h = F.silu(
-            _bn(_conv_same(h, sd, f"{t}.conv_dw", k, stride, dilation,
-                           groups=h.shape[1]), sd, f"{t}.bn2", 1e-3)
-        )
-        h = _effnet_se(h, sd, t)
-        h = _bn(_conv(h, sd, f"{t}.conv_pwl"), sd, f"{t}.bn3", 1e-3)
+    if f"{t}._expand_conv.weight" in sd:
+        h = F.silu(_bn(_conv(x, sd, f"{t}._expand_conv"), sd, f"{t}._bn0",
+                       1e-3))
     else:
-        h = F.silu(
-            _bn(_conv_same(x, sd, f"{t}.conv_dw", k, stride, dilation,
-                           groups=x.shape[1]), sd, f"{t}.bn1", 1e-3)
-        )
-        h = _effnet_se(h, sd, t)
-        h = _bn(_conv(h, sd, f"{t}.conv_pw"), sd, f"{t}.bn2", 1e-3)
+        h = x
+    h = F.silu(
+        _bn(_conv_same(h, sd, f"{t}._depthwise_conv", k, stride, dilation,
+                       groups=h.shape[1]), sd, f"{t}._bn1", 1e-3)
+    )
+    h = _effnet_se(h, sd, t)
+    h = _bn(_conv(h, sd, f"{t}._project_conv"), sd, f"{t}._bn2", 1e-3)
     if stride == 1 and h.shape[1] == identity.shape[1]:
         h = h + identity
     return h
 
 
 def efficientnet_encoder_features(x, sd, depth_mult, output_stride=32):
-    """smp efficientnet-bX encoder: 6 features [identity, stem, stage2,
-    stage3, stage5, stage7] at strides [1, 2, 4, 8, 16, 32]. With
-    output_stride 16/8, deeper stage strides become dilations (smp
+    """smp efficientnet-bX encoder (lukemelas efficientnet_pytorch naming:
+    `_conv_stem`/`_bn0` stem, FLAT `_blocks.{i}`): 6 features [identity,
+    stem, stage2, stage3, stage5, stage7] at strides [1, 2, 4, 8, 16, 32].
+    With output_stride 16/8, deeper stage strides become dilations (smp
     make_dilated semantics)."""
     feats = [x]
     h = F.silu(
-        _bn(_conv_same(x, sd, "encoder.conv_stem", 3, 2), sd, "encoder.bn1",
+        _bn(_conv_same(x, sd, "encoder._conv_stem", 3, 2), sd, "encoder._bn0",
             1e-3)
     )
     feats.append(h)
     current_stride, dilation = 2, 1
+    flat = 0
     for stage_idx, (_, k, s, _, r) in enumerate(_EFFNET_B0_STAGES):
         for b in range(int(math.ceil(depth_mult * r))):
             stride = s if b == 0 else 1
@@ -390,8 +390,8 @@ def efficientnet_encoder_features(x, sd, depth_mult, output_stride=32):
                 stride = 1
             elif stride > 1:
                 current_stride *= stride
-            h = _effnet_block(h, sd, f"encoder.blocks.{stage_idx}.{b}", k,
-                              stride, d)
+            h = _effnet_block(h, sd, f"encoder._blocks.{flat}", k, stride, d)
+            flat += 1
         if stage_idx + 1 in (2, 3, 5, 7):
             feats.append(h)
     return feats

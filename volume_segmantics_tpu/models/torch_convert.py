@@ -446,6 +446,80 @@ def _convert_resnest_encoder(torch_sd, params, stats, prefix="encoder"):
         stage += 1
 
 
+_EFFICIENTNET_STAGE_REPEATS = (1, 2, 2, 3, 3, 4, 1)
+
+_BN_SUFFIXES = ("weight", "bias", "running_mean", "running_var",
+                "num_batches_tracked")
+
+
+def _efficientnet_lukemelas_to_timm(torch_sd, prefix="encoder"):
+    """Rename an efficientnet_pytorch (lukemelas) encoder state dict to the
+    timm-style nested naming `_convert_efficientnet_encoder` consumes.
+
+    smp 0.2.x's "efficientnet-bX" encoders subclass
+    efficientnet_pytorch.EfficientNet, so reference checkpoints carry FLAT
+    `_blocks.{i}` names (`_expand_conv`/`_depthwise_conv`/`_project_conv`,
+    `_se_reduce`/`_se_expand`, `_bn0/_bn1/_bn2`) plus an unused
+    classification tail (`_conv_head`, top-level `_bn1`) that segmentation
+    never runs. The network math is identical (same TF-SAME convs, BN eps
+    1e-3); only the parameter names differ.
+    """
+    import math
+
+    # Recover the per-stage block counts: the depth multiplier scales the
+    # published B0 stage repeats, and the flat block count pins it.
+    n_blocks = 0
+    probe = f"{prefix}._blocks."
+    for k in torch_sd:
+        if k.startswith(probe):
+            n_blocks = max(n_blocks, int(k[len(probe):].split(".")[0]) + 1)
+    reps = None
+    for mult in (1.0, 1.1, 1.2, 1.4, 1.8, 2.2, 2.6, 3.1):
+        cand = [int(math.ceil(mult * r)) for r in _EFFICIENTNET_STAGE_REPEATS]
+        if sum(cand) == n_blocks:
+            reps = cand
+            break
+    if reps is None:
+        raise NotImplementedError(
+            f"Cannot infer an EfficientNet stage layout from {n_blocks} "
+            "blocks."
+        )
+    out = {}
+
+    def move(src_mod, dst_mod):
+        for suffix in _BN_SUFFIXES:
+            k = f"{src_mod}.{suffix}"
+            if k in torch_sd:
+                out[f"{dst_mod}.{suffix}"] = torch_sd[k]
+
+    move(f"{prefix}._conv_stem", f"{prefix}.conv_stem")
+    move(f"{prefix}._bn0", f"{prefix}.bn1")
+    flat = 0
+    for s, r in enumerate(reps):
+        for b in range(r):
+            src = f"{prefix}._blocks.{flat}"
+            dst = f"{prefix}.blocks.{s}.{b}"
+            if f"{src}._expand_conv.weight" in torch_sd:
+                pairs = (("_expand_conv", "conv_pw"), ("_bn0", "bn1"),
+                         ("_depthwise_conv", "conv_dw"), ("_bn1", "bn2"),
+                         ("_project_conv", "conv_pwl"), ("_bn2", "bn3"))
+            else:
+                pairs = (("_depthwise_conv", "conv_dw"), ("_bn1", "bn1"),
+                         ("_project_conv", "conv_pw"), ("_bn2", "bn2"))
+            pairs += (("_se_reduce", "se.conv_reduce"),
+                      ("_se_expand", "se.conv_expand"))
+            for old, new in pairs:
+                move(f"{src}.{old}", f"{dst}.{new}")
+            flat += 1
+    # Non-encoder keys (decoder, segmentation head) pass through; encoder
+    # keys not moved above (the _conv_head/_bn1/_fc classification tail)
+    # are intentionally dropped.
+    for k, v in torch_sd.items():
+        if not k.startswith(f"{prefix}."):
+            out[k] = v
+    return out
+
+
 ENCODER_CONVERTERS = {
     "resnet": _convert_resnet_encoder,
     "efficientnet": _convert_efficientnet_encoder,
@@ -455,11 +529,13 @@ ENCODER_CONVERTERS = {
 
 def convert_encoder_state_dict(torch_sd: Dict[str, np.ndarray], encoder_name: str,
                                prefix: str = "encoder"):
-    """Convert a torch encoder state_dict (torchvision/timm naming) to our
-    {"params", "batch_stats"} encoder subtrees."""
+    """Convert a torch encoder state_dict (torchvision/timm/lukemelas
+    naming) to our {"params", "batch_stats"} encoder subtrees."""
     if encoder_name.startswith(("resnet", "resnext")):
         fn = _convert_resnet_encoder
     elif "efficientnet" in encoder_name:
+        if f"{prefix}._conv_stem.weight" in torch_sd:
+            torch_sd = _efficientnet_lukemelas_to_timm(torch_sd, prefix)
         fn = _convert_efficientnet_encoder
     elif "resnest" in encoder_name:
         fn = _convert_resnest_encoder

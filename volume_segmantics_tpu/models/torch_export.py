@@ -153,6 +153,69 @@ def _inverse_resnest_encoder(sd, p, s):
                             f"{t}.downsample.1", f"{t}.downsample.2")
 
 
+# Width multipliers for the reference's "efficientnet-bX" encoder names
+# (smp 0.2.x dispatches those to the lukemelas efficientnet_pytorch package,
+# whose state dicts use flat `_blocks.{i}` naming).
+_EFFNET_WIDTH_MULTS = {"efficientnet-b3": 1.2, "efficientnet-b4": 1.4}
+
+
+def _efficientnet_timm_to_lukemelas(sd, width_mult):
+    """Rename an exported timm-style efficientnet encoder dict to the
+    lukemelas naming smp's "efficientnet-bX" modules strict-load, and add
+    the inert classification tail (`_conv_head` zero conv + identity
+    `_bn1`) those modules still carry (only `_fc` is deleted by smp's
+    encoder subclass); the segmentation forward never runs it."""
+    from volume_segmantics_tpu.models.encoders.efficientnet import (
+        _round_channels,
+    )
+
+    suffixes = ("weight", "bias", "running_mean", "running_var")
+    out = {}
+
+    def move(src_mod, dst_mod):
+        for suffix in suffixes:
+            k = f"{src_mod}.{suffix}"
+            if k in sd:
+                out[f"{dst_mod}.{suffix}"] = sd[k]
+
+    move("encoder.conv_stem", "encoder._conv_stem")
+    move("encoder.bn1", "encoder._bn0")
+    blocks = sorted(
+        {
+            tuple(int(p) for p in k.split(".")[2:4])
+            for k in sd
+            if k.startswith("encoder.blocks.")
+        }
+    )
+    for flat, (s, b) in enumerate(blocks):
+        src = f"encoder.blocks.{s}.{b}"
+        dst = f"encoder._blocks.{flat}"
+        if f"{src}.conv_pwl.weight" in sd:
+            pairs = (("conv_pw", "_expand_conv"), ("bn1", "_bn0"),
+                     ("conv_dw", "_depthwise_conv"), ("bn2", "_bn1"),
+                     ("conv_pwl", "_project_conv"), ("bn3", "_bn2"))
+        else:
+            pairs = (("conv_dw", "_depthwise_conv"), ("bn1", "_bn1"),
+                     ("conv_pw", "_project_conv"), ("bn2", "_bn2"))
+        pairs += (("se.conv_reduce", "_se_reduce"),
+                  ("se.conv_expand", "_se_expand"))
+        for new, old in pairs:
+            move(f"{src}.{new}", f"{dst}.{old}")
+    for k, v in sd.items():
+        if not k.startswith("encoder."):
+            out[k] = v
+    head_ch = _round_channels(1280 * width_mult)
+    last_ch = _round_channels(320 * width_mult)
+    out["encoder._conv_head.weight"] = np.zeros(
+        (head_ch, last_ch, 1, 1), np.float32
+    )
+    out["encoder._bn1.weight"] = np.ones((head_ch,), np.float32)
+    out["encoder._bn1.bias"] = np.zeros((head_ch,), np.float32)
+    out["encoder._bn1.running_mean"] = np.zeros((head_ch,), np.float32)
+    out["encoder._bn1.running_var"] = np.ones((head_ch,), np.float32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Decoder inverses (smp naming; inverse of torch_convert.DECODER_CONVERTERS)
 # ---------------------------------------------------------------------------
@@ -350,6 +413,14 @@ def smp_state_dict_from_variables(
         _inverse_resnet_encoder(sd, params["encoder"], stats["encoder"])
     elif "efficientnet" in encoder_name:
         _inverse_efficientnet_encoder(sd, params["encoder"], stats["encoder"])
+        if encoder_name in _EFFNET_WIDTH_MULTS:
+            # The reference's "efficientnet-bX" modules use lukemelas
+            # naming; a "timm-efficientnet-bX" name keeps timm naming.
+            renamed = _efficientnet_timm_to_lukemelas(
+                sd, _EFFNET_WIDTH_MULTS[encoder_name]
+            )
+            sd.clear()
+            sd.update(renamed)
     elif "resnest" in encoder_name:
         _inverse_resnest_encoder(sd, params["encoder"], stats["encoder"])
     else:
