@@ -421,3 +421,65 @@ def test_manager_lazy_downsample_materialises_when_small(
     del prediction_settings.lazy_ingest_threshold
     del prediction_settings.streaming_slab_size
     prediction_settings.downsample = False
+
+
+@pytest.mark.slow
+def test_predict_to_hdf5_quality_dispatch(predictor, tmp_path):
+    """predict_to_hdf5 must run the sweep count its quality asks for: LOW a
+    single axis (labels only), MEDIUM 3 ways, HIGH 12 ways — HIGH was
+    previously silently downgraded to the 3-way path."""
+    vol = np.random.default_rng(5).integers(0, 255, (8, 12, 10)).astype(np.uint8)
+    calls = []
+
+    large = VolSegLargeVolPredictor(predictor, workdir=tmp_path / "w",
+                                    slab_size=4)
+    for name in ("predict_single_axis", "predict_3_ways", "predict_12_ways"):
+        orig = getattr(large, name)
+
+        def spy(*a, _orig=orig, _name=name, **k):
+            calls.append(_name)
+            return _orig(*a, **k)
+
+        setattr(large, name, spy)
+
+    for quality, expected in [
+        (Quality.LOW, "predict_single_axis"),
+        (Quality.MEDIUM, "predict_3_ways"),
+        (Quality.HIGH, "predict_12_ways"),
+    ]:
+        calls.clear()
+        out = tmp_path / f"{quality.name}.h5"
+        large.predict_to_hdf5(vol, out, quality=quality)
+        assert calls and calls[0] == expected, (quality, calls)
+        with h5py.File(out) as f:
+            assert f["/data"][()].shape == vol.shape
+
+
+@pytest.mark.slow
+def test_large_predictor_cleans_own_tempdir(predictor):
+    """A predictor that created its own workdir reclaims the accumulator
+    memmaps when it is dropped; results stay readable (POSIX unlink keeps
+    the mapping alive)."""
+    import gc
+
+    vol = np.random.default_rng(6).integers(0, 255, (6, 10, 8)).astype(np.uint8)
+    large = VolSegLargeVolPredictor(predictor, slab_size=4)
+    workdir = large.workdir
+    labels, _ = large.predict_single_axis(vol, output_probs=False)
+    assert workdir.exists()
+    snapshot = np.array(labels)  # force a read while the files exist
+    del large
+    gc.collect()
+    assert not workdir.exists()
+    np.testing.assert_array_equal(np.asarray(labels), snapshot)
+
+
+def test_manager_rejects_all_prediction_axis(model_path, prediction_settings):
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    vol = np.random.default_rng(7).integers(0, 255, (6, 10, 8)).astype(np.uint8)
+    prediction_settings.prediction_axis = "ALL"
+    mgr = VolSeg2DPredictionManager(model_path, vol, prediction_settings)
+    with pytest.raises(ValueError, match="prediction_axis"):
+        mgr.predict_volume_to_path(None, Quality.LOW)
+    prediction_settings.prediction_axis = "Z"

@@ -109,6 +109,9 @@ class VolSeg2dPredictor:
             logging.info(f"Data-parallel prediction over {self.n_dev} devices.")
 
     def _get_model_from_trainer(self, trainer):
+        """Swap in a live trainer's model (API parity with reference
+        vol_seg_2d_predictor.py:28-29, which also leaves `label_codes` from
+        the originally loaded checkpoint untouched)."""
         self.bundle = trainer.bundle
         self.num_labels = trainer.label_no
 

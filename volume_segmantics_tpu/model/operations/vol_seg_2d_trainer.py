@@ -153,16 +153,7 @@ class VolSeg2dTrainer:
             dtype=self.compute_dtype,
         )
         n_params = self.bundle.count_parameters()
-        mask = _freeze_mask(self.bundle.params, frozen)
-        n_trainable = int(
-            sum(
-                float(m) * np.prod(np.asarray(p).shape)
-                for m, p in zip(
-                    jax.tree_util.tree_leaves(mask),
-                    jax.tree_util.tree_leaves(self.bundle.params),
-                )
-            )
-        )
+        n_trainable = self._count_trainable_parameters(frozen)
         logging.info(
             f"Model has {n_trainable} trainable parameters, "
             f"{n_params} total parameters."
@@ -679,6 +670,9 @@ class VolSeg2dTrainer:
         plt.close(fig)
 
         # CSV column names are a de-facto contract with downstream tooling.
+        # Epoch numbers are 0-based like the reference's
+        # (trainer :472 `range(len(self.avg_train_losses))`), even though
+        # the loss plot labels epochs 1-based — parity over polish.
         csv_path = out_dir / f"{stem}_train_stats.csv"
         with open(csv_path, "w", newline="") as f:
             writer = csv.writer(f)

@@ -102,6 +102,19 @@ class VolSegLargeVolPredictor:
         self.workdir = Path(workdir or tempfile.mkdtemp(prefix="volseg_large_"))
         self.workdir.mkdir(parents=True, exist_ok=True)
         self.slab_size = int(slab_size)
+        if self._own_tmp:
+            import shutil
+            import weakref
+
+            # Reclaim the accumulator memmaps when the predictor goes away.
+            # Returned label/prob arrays are views over these files; on
+            # POSIX, unlinking a file backing a live np.memmap is safe (the
+            # mapping keeps the inode alive until munmap), so consumers can
+            # keep reading results after the predictor is dropped — only
+            # the disk space is reclaimed once the views die too.
+            self._tmp_finalizer = weakref.finalize(
+                self, shutil.rmtree, str(self.workdir), ignore_errors=True
+            )
 
     def _memmap(self, name, shape, dtype):
         return np.lib.format.open_memmap(
@@ -336,11 +349,14 @@ class VolSegLargeVolPredictor:
         import h5py as h5
 
         if quality == Quality.LOW:
-            labels = self._memmap("labels", data_vol.shape, np.uint8)
-            probs = self._memmap("probs", data_vol.shape, np.float16)
-            self._predict_axis_streaming(data_vol, Axis.Z, labels, probs)
+            # No probs memmap / float16 download: only labels are written.
+            labels, _ = self.predict_single_axis(
+                data_vol, axis=Axis.Z, output_probs=False
+            )
+        elif quality == Quality.HIGH:
+            labels, _ = self.predict_12_ways(data_vol)
         else:
-            labels, probs = self.predict_3_ways(data_vol)
+            labels, _ = self.predict_3_ways(data_vol)
         logging.info(f"Writing streamed prediction to {output_path}.")
         with h5.File(output_path, "w") as f:
             dset = f.create_dataset(

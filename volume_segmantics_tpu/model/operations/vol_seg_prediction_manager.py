@@ -55,6 +55,11 @@ class VolSeg2DPredictionManager(BaseDataManager):
         probs = None
         one_hot = self.settings.one_hot
         preferred_axis = utils.get_prediction_axis(self.settings)
+        if preferred_axis == utils.Axis.ALL:
+            raise ValueError(
+                "prediction_axis must be one of Z, Y, X (single-axis sweeps "
+                "only; multi-axis prediction is selected via `quality`)."
+            )
         if quality is None:
             quality = utils.get_prediction_quality(self.settings)
         default_threshold = (
@@ -103,18 +108,7 @@ class VolSeg2DPredictionManager(BaseDataManager):
                 prediction, probs = large.predict_3_ways(self.data_vol)
             else:
                 prediction, probs = large.predict_12_ways(self.data_vol)
-            if output_path is not None:
-                utils.save_data_to_hdf5(
-                    prediction, output_path, chunking=self.input_data_chunking
-                )
-                if probs is not None and self.settings.output_probs:
-                    utils.save_data_to_hdf5(
-                        probs,
-                        f"{output_path.parent / output_path.stem}_probs.h5",
-                        chunking=self.input_data_chunking,
-                    )
-            return prediction
-        if quality == utils.Quality.LOW:
+        elif quality == utils.Quality.LOW:
             if one_hot:
                 prediction = self.predictor._predict_single_axis_to_one_hot(
                     self.data_vol, axis=preferred_axis
@@ -125,14 +119,14 @@ class VolSeg2DPredictionManager(BaseDataManager):
                     output_probs=bool(self.settings.output_probs),
                     axis=preferred_axis,
                 )
-        if quality == utils.Quality.MEDIUM:
+        elif quality == utils.Quality.MEDIUM:
             if one_hot:
                 prediction = self.predictor._predict_3_ways_one_hot(self.data_vol)
             else:
                 prediction, probs = self.predictor._predict_3_ways_max_probs(
                     self.data_vol, output_probs=self.settings.output_probs
                 )
-        if quality == utils.Quality.HIGH:
+        else:
             if one_hot:
                 prediction = self.predictor._predict_12_ways_one_hot(self.data_vol)
             else:
