@@ -98,3 +98,80 @@ def test_prefetch_to_device_propagates_exceptions():
 
     with _pytest.raises(Boom):
         next(it)
+
+
+def test_tiny_index_set_fills_full_batch():
+    """Wrap-around padding must fill the batch even when the index set is
+    smaller than half the batch size (fixed-shape compile contract)."""
+    from volume_segmantics_tpu.data.dataloaders import ArrayBatcher
+
+    images = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    masks = images.copy()
+    b = ArrayBatcher(images, masks, np.arange(3), 16, shuffle=False,
+                     drop_last=False)
+    (imgs, msks, n_valid), = list(b)
+    assert imgs.shape == (16, 4, 4)
+    assert n_valid == 3
+    # Pad entries cycle through the real samples.
+    np.testing.assert_array_equal(imgs[3], images[0])
+    np.testing.assert_array_equal(imgs[5], images[2])
+    np.testing.assert_array_equal(imgs[15], images[0])
+
+
+def test_prefetch_worker_stops_after_early_break():
+    """Breaking out of a prefetched loop must release the worker thread
+    (it previously parked on q.put forever, pinning device batches)."""
+    import time
+
+    from volume_segmantics_tpu.data.dataloaders import PrefetchToDevice
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield (np.full((1,), i), np.full((1,), i), 1)
+
+    class Loader:
+        def __len__(self):
+            return 1000
+
+        def __iter__(self):
+            return gen()
+
+    pf = PrefetchToDevice(Loader(), lambda a: a, depth=2)
+    for item in pf:
+        break  # early exit, as the LR finder does
+    time.sleep(0.3)
+    count_after_stop = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == count_after_stop, "worker kept producing"
+    assert count_after_stop < 10
+
+
+def test_training_split_rejects_empty_split(tmp_path, training_settings):
+    import pytest
+
+    images = np.zeros((3, 16, 16), np.uint8)
+    masks = np.zeros((3, 16, 16), np.uint8)
+    old = training_settings.training_set_proportion
+    training_settings.training_set_proportion = 1.0
+    with pytest.raises(ValueError, match="non-empty"):
+        get_2d_training_dataloaders(images, masks, training_settings)
+    training_settings.training_set_proportion = old
+
+
+def test_mismatched_slice_dirs_rejected(tmp_path):
+    import imageio.v2 as iio
+    import pytest
+
+    from volume_segmantics_tpu.data.datasets import VolSeg2dDataset
+
+    im_dir, lb_dir = tmp_path / "im", tmp_path / "lb"
+    im_dir.mkdir(), lb_dir.mkdir()
+    for i in range(3):
+        iio.imwrite(im_dir / f"s{i}.png", np.zeros((8, 8), np.uint8))
+    for i in range(2):
+        iio.imwrite(lb_dir / f"s{i}.png", np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="slice counts differ"):
+        VolSeg2dDataset(im_dir, lb_dir)

@@ -175,3 +175,24 @@ class TestSampleWeights:
         ref = epoch_avg(21)
         assert np.isclose(epoch_avg(8), ref, rtol=1e-5)
         assert np.isclose(epoch_avg(7), ref, rtol=1e-5)
+
+
+def test_generalized_dice_sample_weights_mask_padding():
+    """Padded samples must be exactly invisible — including through the
+    single-channel (p, 1-p) expansion, where zeroing the inputs BEFORE the
+    expansion would turn pads into weight-1 background voxels."""
+    rng = np.random.default_rng(8)
+    real = rng.normal(size=(3, 1, 8, 8)).astype(np.float32)
+    real_t = (rng.random((3, 1, 8, 8)) > 0.5).astype(np.float32)
+    pad = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    pad_t = np.ones((2, 1, 8, 8), np.float32)
+
+    unpadded = losses.generalized_dice_loss(
+        jnp.asarray(real), jnp.asarray(real_t)
+    )
+    padded = losses.generalized_dice_loss(
+        jnp.asarray(np.concatenate([real, pad])),
+        jnp.asarray(np.concatenate([real_t, pad_t])),
+        sample_weights=jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0]),
+    )
+    np.testing.assert_allclose(float(padded), float(unpadded), rtol=1e-5)

@@ -37,3 +37,14 @@ def test_settings_none():
 def test_settings_missing_file_exits():
     with pytest.raises(SystemExit):
         get_settings_data(Path("/nonexistent/settings.yaml"))
+
+
+def test_settings_accepts_str_path(training_settings_path):
+    """str paths (the common library-API call form) load the same YAML as
+    Path inputs instead of silently returning an empty namespace."""
+    from volume_segmantics_tpu.data.settings_data import get_settings_data
+
+    from_str = get_settings_data(str(training_settings_path))
+    from_path = get_settings_data(training_settings_path)
+    assert vars(from_str) == vars(from_path)
+    assert hasattr(from_str, "image_size")

@@ -103,3 +103,34 @@ class TestSliceOutput:
         assert len(data_slices) == sum(rand_int_volume.shape)
         assert len(label_slices) == len(data_slices)
         assert data_slices[0].shape == rand_int_volume.shape[1:]
+
+    def test_downsample_keeps_data_label_alignment(self, slicer_settings):
+        """With downsample=True the label volume is reduced alongside the
+        data volume (the reference silently pairs half-res data with
+        full-res labels); slice counts and shapes must match."""
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 255, (13, 18, 22)).astype(np.uint8)
+        labels = (data > 128).astype(np.uint8)
+        slicer_settings.downsample = True
+        # Downsampling emits float64 block means; clip restores uint8 (the
+        # reference pairing of these settings).
+        slicer_settings.clip_data = True
+        try:
+            slicer = _make_slicer(data, labels, slicer_settings)
+            assert slicer.data_vol.shape == (7, 9, 11)
+            assert slicer.seg_vol.shape == slicer.data_vol.shape
+            data_slices, label_slices = slicer.get_slice_arrays()
+            assert len(data_slices) == len(label_slices) == 7 + 9 + 11
+            for d, l in zip(data_slices, label_slices):
+                assert d.shape == l.shape
+        finally:
+            slicer_settings.downsample = False
+            slicer_settings.clip_data = False
+
+    def test_mismatched_label_shape_rejected(self, slicer_settings):
+        import pytest
+
+        data = np.zeros((8, 10, 12), np.uint8)
+        labels = np.zeros((8, 10, 11), np.uint8)
+        with pytest.raises(ValueError, match="does not match"):
+            _make_slicer(data, labels, slicer_settings)

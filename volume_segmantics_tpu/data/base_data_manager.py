@@ -84,6 +84,12 @@ class BaseDataManager:
                     )
                     return lazy, lazy.chunks
                 lazy.close()
+            if suffix not in cfg.TIFF_SUFFIXES and suffix not in cfg.HDF5_SUFFIXES:
+                raise ValueError(
+                    f"Unsupported volume file type '{suffix}' "
+                    f"({self.data_vol_path}); supported suffixes: "
+                    f"{sorted(cfg.TIFF_SUFFIXES | cfg.HDF5_SUFFIXES)}."
+                )
             return utils.get_numpy_from_path(
                 self.data_vol_path, internal_path=self.settings.data_hdf5_path
             )

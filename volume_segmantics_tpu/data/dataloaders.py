@@ -54,7 +54,10 @@ class ArrayBatcher:
             chunk = order[b * bs : (b + 1) * bs]
             n_valid = len(chunk)
             if n_valid < bs:
-                pad = order[: bs - n_valid]
+                # Tile so even an index set smaller than half the batch
+                # fills it completely (the fixed-shape compile contract).
+                reps = -(-(bs - n_valid) // len(order))
+                pad = np.tile(order, reps)[: bs - n_valid]
                 chunk = np.concatenate([chunk, pad])
             yield self.images[chunk], self.masks[chunk], n_valid
 
@@ -86,24 +89,44 @@ class PrefetchToDevice:
         import threading
 
         q = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Enqueue unless the consumer has gone away (early break)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for images, masks, n_valid in self.loader:
-                    q.put((self.place_fn(images), self.place_fn(masks), n_valid))
+                    batch = (self.place_fn(images), self.place_fn(masks),
+                             n_valid)
+                    if not _put(batch):
+                        return  # consumer stopped early; drop device refs
             except BaseException as exc:  # propagate into the consumer
-                q.put(exc)
+                _put(exc)
                 return
-            q.put(self._SENTINEL)
+            _put(self._SENTINEL)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on the consumer breaking out
+            # (GeneratorExit): unblock the worker so prefetched device
+            # buffers are released instead of pinned forever.
+            stop.set()
 
 
 def _preprocess_slice_lists(data_slices, label_slices, settings):
@@ -134,14 +157,20 @@ def get_2d_training_dataloaders(
 
     if isinstance(image_dir, (list, tuple, np.ndarray)):
         images, masks = _preprocess_slice_lists(image_dir, label_dir, settings)
-        dset_length = images.shape[0]
     else:
         dataset = get_2d_training_dataset(image_dir, label_dir, settings)
         images, masks = dataset.stacked_arrays()
-        dset_length = len(dataset)
+    dset_length = images.shape[0]
     indices = np.random.permutation(dset_length)
     split = int(dset_length * training_set_prop)
     train_idx, validate_idx = indices[:split], indices[split:]
+    if len(train_idx) == 0 or len(validate_idx) == 0:
+        raise ValueError(
+            f"Cannot split {dset_length} slices into non-empty training and "
+            f"validation sets at training_set_proportion="
+            f"{training_set_prop}; provide more slices or adjust the "
+            "proportion."
+        )
 
     training_batcher = ArrayBatcher(
         images, masks, train_idx, batch_size, shuffle=True, drop_last=True

@@ -37,6 +37,13 @@ class VolSeg2dDataset:
     ):
         self.images_fps = sorted(list(Path(images_dir).glob("*.png")), key=self.natsort)
         self.masks_fps = sorted(list(Path(masks_dir).glob("*.png")), key=self.natsort)
+        if len(self.images_fps) != len(self.masks_fps):
+            # A silent zip-truncation here would train on mispaired slices.
+            raise ValueError(
+                f"Image/label slice counts differ: {len(self.images_fps)} "
+                f"PNGs in {images_dir} vs {len(self.masks_fps)} in "
+                f"{masks_dir}."
+            )
         self.preprocessing = preprocessing
         self.augmentation = augmentation
         self.imagenet_norm = imagenet_norm

@@ -91,12 +91,24 @@ def generalized_dice_loss(
     (reference pytorch3dunet_losses.py:138-170)."""
     probs = _normalize(input, normalization)
     assert probs.shape == target.shape
-    probs, target = _apply_sample_weights(probs, target, sample_weights)
+    n_samples = probs.shape[0]
     probs = flatten(probs)
     target = flatten(target).astype(probs.dtype)
     if probs.shape[0] == 1:
         probs = jnp.concatenate((probs, 1 - probs), axis=0)
         target = jnp.concatenate((target, 1 - target), axis=0)
+    if sample_weights is not None:
+        # Mask AFTER the single-channel (p, 1-p) expansion: zeroing the
+        # inputs first would turn padded voxels into weight-1 "background"
+        # (1 - 0 = 1) in both tensors, biasing intersect/denominator/w_l.
+        # flatten() is (C, N-major * spatial), so each sample's weight
+        # repeats over its spatial block.
+        flat_w = jnp.repeat(
+            sample_weights.astype(probs.dtype),
+            probs.shape[-1] // n_samples,
+        )
+        probs = probs * flat_w
+        target = target * flat_w
     w_l = target.sum(-1)
     w_l = 1.0 / jnp.clip(w_l * w_l, min=epsilon)
     w_l = jax.lax.stop_gradient(w_l)

@@ -24,13 +24,15 @@ def _load_yaml_settings(path: Path) -> SimpleNamespace:
     return SimpleNamespace(**yaml.safe_load(path.read_text()))
 
 
-def get_settings_data(data: Union[Path, dict, None]) -> SimpleNamespace:
+def get_settings_data(
+    data: Union[Path, str, dict, None]
+) -> SimpleNamespace:
     """Resolve `data` to a settings namespace.
 
-    Accepts a YAML file path, an already-assembled dict (the library-API
-    route), or None (empty settings)."""
-    if isinstance(data, Path):
-        return _load_yaml_settings(data)
+    Accepts a YAML file path (Path or str), an already-assembled dict (the
+    library-API route), or None (empty settings)."""
+    if isinstance(data, (Path, str)):
+        return _load_yaml_settings(Path(data))
     if isinstance(data, dict):
         return SimpleNamespace(**data)
     return SimpleNamespace()

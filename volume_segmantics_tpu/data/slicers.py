@@ -50,8 +50,22 @@ class TrainingDataSlicer(BaseDataManager):
             vol, _ = utils.get_numpy_from_path(
                 self.label_vol_path, internal_path=self.settings.seg_hdf5_path
             )
-            return vol
-        return label_vol
+        else:
+            vol = label_vol
+        if self.downsample and vol.shape != self.data_vol_shape:
+            # The reference never downsamples the label volume, silently
+            # pairing half-resolution data slices with full-resolution
+            # labels (a broken configuration). Labels are categorical, so
+            # 2x reduce by stride-picking the leading voxel of each block —
+            # ceil-shaped to match downsample_data's output dims.
+            logging.info("Downsampling label volume by a factor of 2.")
+            vol = vol[::2, ::2, ::2]
+        if vol.shape != self.data_vol_shape:
+            raise ValueError(
+                f"Label volume shape {vol.shape} does not match the "
+                f"preprocessed data volume shape {self.data_vol_shape}."
+            )
+        return vol
 
     # ------------------------------------------------------------------
     # Label sanitation (reference slicers.py:48-70 semantics)

@@ -301,15 +301,6 @@ def _augment_one(rng, img, mask, size):
     return img_out, mask_out
 
 
-def _augment_one_u8(rng, img_u8, mask_u8, size):
-    """uint8 fast path: image+mask warped with ONE packed 4-tap gather."""
-    k_geo, k_int = jax.random.split(rng)
-    coords = _geometric_coords(k_geo, size)
-    img_out, mask_out = warp_pair_u8(img_u8, mask_u8, coords)
-    img_out = _intensity(k_int, jnp.clip(img_out, 0.0, 1.0))
-    return img_out, mask_out
-
-
 @partial(jax.jit, static_argnames=("size",))
 def augment_batch_u8(rng, images_u8, masks_u8, size):
     """Augment a uint8 batch on device (the fused train step's input form).
@@ -325,7 +316,10 @@ def augment_batch_u8(rng, images_u8, masks_u8, size):
     keys = jax.random.split(rng, n)
     k_geo, k_int = jax.vmap(jax.random.split, out_axes=1)(keys)
     coords = jax.vmap(lambda k: _geometric_coords(k, size))(k_geo)
-    if jax.default_backend() == "tpu":
+    # The Pallas kernel tiles S*S pixels into 1024-wide blocks, which needs
+    # size % 32 == 0 (true for the settings default 256 and any
+    # IM_SIZE_DIVISOR-aligned size); other sizes take the gather path.
+    if jax.default_backend() == "tpu" and size % 32 == 0:
         from volume_segmantics_tpu.ops.warp import warp_batch_u8_mxu
 
         imgs_f, msks_out = warp_batch_u8_mxu(images_u8, masks_u8, coords)
