@@ -267,3 +267,55 @@ class TestEarlyStoppingFlag:
             assert es.counter == 0
             es(0.9, None, None, {})          # single stagnation
             assert es.early_stop             # still raised (sticky)
+
+
+class TestImgAsUbyteScaling:
+    def test_uint16_uses_bit_shift(self):
+        """skimage downcasts unsigned ints by floor division (>> 8 for
+        uint16), not rounded 255/65535 scaling."""
+        from volume_segmantics_tpu.utils.base_data_utils import img_as_ubyte
+
+        x = np.array([0, 255, 256, 511, 65535], np.uint16)
+        np.testing.assert_array_equal(
+            img_as_ubyte(x), np.array([0, 0, 1, 1, 255], np.uint8)
+        )
+
+    def test_int16_clips_then_shifts(self):
+        from volume_segmantics_tpu.utils.base_data_utils import img_as_ubyte
+
+        x = np.array([-5, 0, 127, 128, 32767], np.int16)
+        np.testing.assert_array_equal(
+            img_as_ubyte(x), np.array([0, 0, 0, 1, 255], np.uint8)
+        )
+
+    def test_float_rounds_half_to_even(self):
+        from volume_segmantics_tpu.utils.base_data_utils import img_as_ubyte
+
+        x = np.array([0.0, 0.5 / 255, 1.5 / 255, 1.0], np.float64)
+        np.testing.assert_array_equal(
+            img_as_ubyte(x), np.array([0, 0, 2, 255], np.uint8)
+        )
+
+
+class TestStreamingClipDtypeIdentity:
+    def test_streaming_clip_matches_eager_per_dtype(self, monkeypatch):
+        """The slab-streamed clip must be bit-identical to the eager path
+        for float32, float64 and integer sources (the streamed path
+        previously rescaled in float32 with a reciprocal multiply)."""
+        import volume_segmantics_tpu.utils.base_data_utils as u
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(100.0, 30.0, (8, 9, 10))
+        for arr in [
+            base.astype(np.float32),
+            base.astype(np.float64),
+            base.astype(np.int32),
+            np.clip(base * 50, 0, 60000).astype(np.uint16),
+        ]:
+            mean = float(np.nanmean(arr))
+            eager = u.clip_to_uint8(arr.copy(), mean, 2.575)
+            monkeypatch.setattr(u, "CLIP_STREAM_THRESHOLD_VOXELS", 10)
+            monkeypatch.setattr(u, "_CLIP_SLAB_SLICES", 3)
+            streamed = u.clip_to_uint8(arr.copy(), mean, 2.575)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(streamed, eager, err_msg=str(arr.dtype))

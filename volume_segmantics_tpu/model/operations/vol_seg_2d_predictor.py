@@ -188,11 +188,12 @@ class VolSeg2dPredictor:
     JIT_CACHE_MAX_ENTRIES = 24
 
     def _get_jitted(self, kind: str, shape, fn):
-        """Per-(kind, volume-shape) jit cache with LRU eviction."""
+        """Per-(kind, volume-shape) jit cache with LRU eviction. `fn` may
+        already be jit-wrapped (e.g. with explicit out_shardings)."""
         key = (kind, tuple(shape))
         cached = self._sweep_cache.pop(key, None)
         if cached is None:
-            cached = jax.jit(fn)
+            cached = fn if hasattr(fn, "clear_cache") else jax.jit(fn)
             while len(self._sweep_cache) >= self.JIT_CACHE_MAX_ENTRIES:
                 _, evicted = self._sweep_cache.popitem(last=False)
                 # Drop XLA executables along with the wrapper.

@@ -31,7 +31,11 @@ class Conv3x3GnRelu(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(x)
+        # torch nn.GroupNorm eps (flax defaults to 1e-6, a real numerical
+        # divergence for near-zero-variance groups).
+        x = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="gn"
+        )(x)
         x = nn.relu(x).astype(self.dtype)
         if self.do_upsample:
             x = upsample(x, 2, "nearest")

@@ -6,6 +6,15 @@ timm-resnest50d and timm-resnest101e): 6 features at strides
 [1, 2, 4, 8, 16, 32]. ResNeSt-D/E details implemented: deep 3-conv stem
 (stem widths 32 / 64), average-pool downsampling in both the residual path
 (avd) and the shortcut (avg_down), and radix-2 Split-Attention 3x3 convs.
+
+Dilated note (output_stride 16/8, i.e. DeepLabV3/V3+ with ResNeSt): this
+implementation follows timm's native output-stride semantics — a dilated
+stage runs at stride 1 throughout, so the avd / shortcut average pools
+(which only exist to downsample) drop out. smp's generic ``make_dilated``
+patches ONLY nn.Conv2d strides and accidentally leaves the stride-2
+AvgPool2d modules downsampling, so its "dilated" ResNeSt still reduces
+resolution — a quirk, not a design. Weight conversion is unaffected (same
+parameters); per-voxel outputs for this combination differ from smp's.
 """
 
 from typing import Any, Sequence, Tuple

@@ -105,8 +105,7 @@ class StemConv(nn.Module):
                 (total_w // 2, total_w - total_w // 2),
             )
         return space_to_depth_conv2d(
-            x.astype(self.dtype), kernel.astype(self.dtype), padding,
-            bias if bias is None else bias,
+            x.astype(self.dtype), kernel.astype(self.dtype), padding, bias
         )
 
 

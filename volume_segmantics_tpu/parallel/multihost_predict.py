@@ -64,9 +64,17 @@ def predict_local_block_to_hdf5(
     n_global = global_vol.shape[0]
     pid = jax.process_index()
 
-    fn = jax.jit(
-        lambda variables, v: predictor._axis_sweep_trace(variables, v, Axis.Z),
-        out_shardings=(sharding, sharding),
+    # Route through the predictor's shape-keyed jit cache so repeated
+    # same-shaped blocks reuse the compiled sweep instead of recompiling.
+    fn = predictor._get_jitted(
+        "multihost_sweep_Z",
+        global_vol.shape,
+        jax.jit(
+            lambda variables, v: predictor._axis_sweep_trace(
+                variables, v, Axis.Z
+            ),
+            out_shardings=(sharding, sharding),
+        ),
     )
     labels_d, probs_d = fn(predictor.bundle.variables, global_vol)
 

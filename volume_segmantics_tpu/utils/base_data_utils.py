@@ -415,35 +415,25 @@ def _clip_to_uint8_streaming(
         for i in range(0, data.shape[0], _CLIP_SLAB_SLICES)
     ]
 
-    def moments(sl):
-        x = data[sl].astype(np.float64, copy=False)
-        nan_mask = np.isnan(x)
-        n_nan = int(nan_mask.sum())
-        d = np.where(nan_mask, data_mean, x) - data_mean
-        return float((d * d).sum()), n_nan
-
-    with ThreadPoolExecutor() as pool:
-        results = list(pool.map(moments, slabs))
-    sq_sum = sum(r[0] for r in results)
-    n_valid = num_vox - sum(r[1] for r in results)
-    data_st_dev = float(np.sqrt(sq_sum / max(n_valid, 1)))
+    data_st_dev = streaming_nanstd(data, data_mean, _CLIP_SLAB_SLICES)
 
     lower_bound = data_mean - (data_st_dev * st_dev_factor)
     upper_bound = data_mean + (data_st_dev * st_dev_factor)
-    logging.info(f"Lower bound: {lower_bound}, upper bound: {upper_bound}")
-    scale = 255.0 / (upper_bound - lower_bound)
+    # Per-voxel numerics shared with the lazy read-time transform — which
+    # itself mirrors the eager clip_to_uint8 op sequence exactly (same
+    # dtypes, same op order), so outputs cannot depend on which ingest
+    # path a volume took.
+    transform = make_clip_to_uint8_transform(
+        data_mean, data_st_dev, st_dev_factor
+    )
     out = np.empty(data.shape, np.uint8)
-    counts = []
 
     def convert(sl):
-        x = data[sl].astype(np.float32, copy=True)
-        gt_ub = int((x > upper_bound).sum())
-        lt_lb = int((x < lower_bound).sum())
-        np.nan_to_num(x, copy=False, nan=data_mean)
-        np.clip(x, lower_bound, upper_bound, out=x)
-        x -= lower_bound
-        x *= scale
-        out[sl] = x.astype(np.uint8)
+        x = data[sl]
+        with np.errstate(invalid="ignore"):
+            gt_ub = int((x > upper_bound).sum())
+            lt_lb = int((x < lower_bound).sum())
+        out[sl] = transform(x)
         return gt_ub, lt_lb
 
     with ThreadPoolExecutor() as pool:
@@ -568,13 +558,16 @@ def img_as_ubyte(data: np.ndarray) -> np.ndarray:
     if np.issubdtype(data.dtype, np.floating):
         if np.nanmin(data) < -1.0 or np.nanmax(data) > 1.0:
             raise ValueError("Images of type float must be between -1 and 1.")
-        out = np.clip(data, 0, 1) * 255.0
-        return (out + 0.5).astype(np.uint8)
+        # skimage rounds half-to-even (np.rint), not half-up.
+        return np.rint(np.clip(data, 0, 1) * 255.0).astype(np.uint8)
     if np.issubdtype(data.dtype, np.unsignedinteger):
-        in_max = np.iinfo(data.dtype).max
-        return (data.astype(np.float64) * (255.0 / in_max) + 0.5).astype(np.uint8)
+        # skimage downcasts unsigned ints by floor-dividing out the extra
+        # bits (uint16 -> uint8 is >> 8), NOT by rounded 255/65535 scaling.
+        shift = 8 * (data.dtype.itemsize - 1)
+        return (data >> shift).astype(np.uint8)
     if np.issubdtype(data.dtype, np.signedinteger):
-        in_max = np.iinfo(data.dtype).max
-        out = np.clip(data, 0, None).astype(np.float64)
-        return (out * (255.0 / in_max) + 0.5).astype(np.uint8)
+        # skimage clips negatives then scales the positive (n-1)-bit range
+        # down to 8 bits by floor division (int16 -> uint8 is >> 7).
+        shift = 8 * data.dtype.itemsize - 1 - 8
+        return (np.clip(data, 0, None) >> shift).astype(np.uint8)
     raise ValueError(f"Unsupported dtype for image conversion: {data.dtype}")
