@@ -38,7 +38,8 @@ CACHE_DIR = Path("/root/.cache/volseg_bench")
 def _tutorial_volumes(side=256):
     """Synthetic vessels data+labels, cached across bench runs."""
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    cache = CACHE_DIR / f"vessels{side}.npz"
+    # Key by every generation parameter so generator changes invalidate.
+    cache = CACHE_DIR / f"vessels{side}_n30_s0_v2.npz"
     if cache.exists():
         blob = np.load(cache)
         return blob["data"], blob["labels"]
@@ -235,19 +236,29 @@ def main():
                 time.sleep(30)
         print(f"# 256^3 12-way: {elapsed256:.2f}s", file=sys.stderr)
 
-        vol512 = rng.integers(0, 255, (512,) * 3).astype(np.uint8)
-        print("# warm-up (compile) 512**3...", file=sys.stderr)
-        predictor._predict_12_ways_max_probs(vol512, output_probs=False)
-        extra["predict_512cube_12way_wallclock_s"] = round(
-            _median_time(
-                lambda: predictor._predict_12_ways_max_probs(
-                    vol512, output_probs=False
-                )
-            ),
-            3,
-        )
-        print(f"# 512^3 12-way: {extra['predict_512cube_12way_wallclock_s']}s",
-              file=sys.stderr)
+        # The 512-cube stage moves the bench's largest transfers; a
+        # transient tunnel failure here must not discard the headline
+        # number already measured above.
+        try:
+            vol512 = rng.integers(0, 255, (512,) * 3).astype(np.uint8)
+            print("# warm-up (compile) 512**3...", file=sys.stderr)
+            predictor._predict_12_ways_max_probs(vol512, output_probs=False)
+            extra["predict_512cube_12way_wallclock_s"] = round(
+                _median_time(
+                    lambda: predictor._predict_12_ways_max_probs(
+                        vol512, output_probs=False
+                    )
+                ),
+                3,
+            )
+            print(
+                f"# 512^3 12-way: "
+                f"{extra['predict_512cube_12way_wallclock_s']}s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - transient tunnel issue
+            print(f"# 512^3 stage failed: {e}", file=sys.stderr)
+            extra["predict_512cube_12way_wallclock_s"] = None
 
     # --- Tutorial Dice --------------------------------------------------
     print("# training on synthetic vessels tutorial volume...", file=sys.stderr)

@@ -20,9 +20,6 @@ import numpy as np
 def make_vessel_volume(side: int, n_vessels: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     labels = np.zeros((side, side, side), dtype=np.uint8)
-    zz, yy, xx = np.meshgrid(
-        np.arange(side), np.arange(side), np.arange(side), indexing="ij"
-    )
     for _ in range(n_vessels):
         pos = rng.uniform(side * 0.1, side * 0.9, 3)
         direction = rng.normal(size=3)
@@ -43,10 +40,15 @@ def make_vessel_volume(side: int, n_vessels: int, seed: int = 0):
                 slice(max(y0 - r, 0), min(y0 + r + 1, side)),
                 slice(max(x0 - r, 0), min(x0 + r + 1, side)),
             )
+            # Local coordinate vectors per sphere: O(r^3) memory instead of
+            # three full side^3 int64 meshgrids (~3 GB at side=512).
+            zc = np.arange(zs.start, zs.stop)
+            yc = np.arange(ys.start, ys.stop)
+            xc = np.arange(xs.start, xs.stop)
             d2 = (
-                (zz[zs, ys, xs] - pos[0]) ** 2
-                + (yy[zs, ys, xs] - pos[1]) ** 2
-                + (xx[zs, ys, xs] - pos[2]) ** 2
+                (zc[:, None, None] - pos[0]) ** 2
+                + (yc[None, :, None] - pos[1]) ** 2
+                + (xc[None, None, :] - pos[2]) ** 2
             )
             labels[zs, ys, xs] |= (d2 <= radius**2).astype(np.uint8)
     # Image: bright vessels on noisy, slowly varying background
@@ -77,7 +79,7 @@ def main():
     ]:
         with h5py.File(out / name, "w") as f:
             f.create_dataset("/data", data=arr, chunks=(32, 32, 32), compression="gzip")
-        print(f"wrote {out / name} ({arr.shape}, labels: {np.unique(arr).size} values)")
+        print(f"wrote {out / name} ({arr.shape}, {np.unique(arr).size} distinct values)")
 
 
 if __name__ == "__main__":

@@ -38,17 +38,32 @@ class ModelBundle:
     def batch_stats(self):
         return self.variables.get("batch_stats", {})
 
-    def apply_nchw(self, x_nchw, train: bool = False):
+    def apply_nchw(self, x_nchw, train: bool = False, rngs=None):
         """Forward pass taking/returning NCHW (reference array convention);
-        internally NHWC for TPU."""
+        internally NHWC for TPU. With ``train=True`` BatchNorm uses batch
+        statistics and the updated running stats are stored back on the
+        bundle (the stateful-torch behaviour this API mirrors)."""
         x = jnp.transpose(jnp.asarray(x_nchw), (0, 2, 3, 1))
-        logits = self.module.apply(self.variables, x, train=False)
+        if train:
+            logits, mutated = self.module.apply(
+                self.variables, x, train=True, mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            self.variables = {**self.variables, **mutated}
+        else:
+            logits = self.module.apply(self.variables, x, train=False)
         return jnp.transpose(logits, (0, 3, 1, 2))
 
     def count_parameters(self) -> int:
-        return sum(
-            np.prod(np.asarray(x).shape)
-            for x in jax.tree_util.tree_leaves(self.variables.get("params", {}))
+        # x.shape, never np.asarray(x): leaves may live on device and a
+        # host transfer here costs seconds over a slow link.
+        return int(
+            sum(
+                int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(
+                    self.variables.get("params", {})
+                )
+            )
         )
 
 
@@ -104,7 +119,14 @@ def create_model_from_file(
     logging.info("Loading model dictionary from file.")
     ckpt = load_checkpoint(weights_fn)
     struc = ckpt["model_struc_dict"]
-    bundle = create_model_on_device(device_num, struc, dtype=dtype)
+    # The checkpoint carries every weight: skip the pretrained-encoder merge
+    # (its result would be overwritten below, and on a machine without
+    # $VOLSEG_TPU_WEIGHTS_DIR it logs a misleading random-init warning).
+    build_struc = dict(struc)
+    build_struc["encoder_weights"] = None
+    bundle = create_model_on_device(device_num, build_struc, dtype=dtype)
+    bundle.model_struc_dict = dict(struc)
+    bundle.pretrained_loaded = True  # trained weights restored below
     # Restore saved weights over the freshly initialised pytree and push
     # them to device ONCE (msgpack restores host numpy arrays; leaving them
     # on host would silently re-upload all params on every jitted call).

@@ -66,6 +66,15 @@ def save_checkpoint(
         "loss_val": float(loss_val),
         "label_codes": label_codes if label_codes is not None else {},
     }
+    if isinstance(label_codes, dict) and any(
+        not isinstance(k, str) for k in label_codes
+    ):
+        # msgpack (strict_map_key) rejects non-string map keys at LOAD time;
+        # fail now with an actionable message instead of corrupting later.
+        raise ValueError(
+            "label_codes dict keys must be strings for the msgpack "
+            "checkpoint format (e.g. {'0': 'label_val_0'})."
+        )
     if extra is not None:
         blob["extra"] = extra
     data = serialization.msgpack_serialize(blob)

@@ -90,7 +90,16 @@ def main():
     inputs, max_labels, label_codes, last_slicer = _slice_all_volumes(
         data_vols, label_vols, settings, root
     )
-    trainer = VolSeg2dTrainer(inputs[0], inputs[1], max_labels, settings)
+    # Pass the slicer's label codes through (as the dict form the trainer's
+    # Union[int, dict] API accepts) so checkpoints record real label names;
+    # the reference drops them here and always saves label_codes={}. Keys
+    # are strings: the msgpack checkpoint format forbids int map keys.
+    codes = (
+        {str(i): code for i, code in enumerate(label_codes)}
+        if label_codes
+        else max_labels
+    )
+    trainer = VolSeg2dTrainer(inputs[0], inputs[1], codes, settings)
     model_out = _model_output_path(settings, root)
     _run_training_phases(trainer, model_out, settings)
     trainer.output_loss_fig(model_out)
