@@ -91,3 +91,39 @@ def test_pan_rejects_resnest():
     """Reference README.md:76: ResNeSt encoders incompatible with PAN."""
     with pytest.raises(ValueError, match="not compatible with PAN"):
         create_model_on_device(0, _struc(ModelType.PAN, "timm-resnest50d"))
+
+
+def test_apply_nchw_train_mode_updates_batch_stats():
+    """apply_nchw(train=True) must run training-mode BatchNorm and store
+    the mutated running statistics back on the bundle (it previously
+    ignored the flag and silently ran eval mode)."""
+    import jax
+    import numpy as np
+
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {"type": ModelType.U_NET, "encoder_name": "resnet34",
+             "encoder_weights": None, "in_channels": 1, "classes": 2}
+    bundle = create_model_on_device(0, struc, rng=jax.random.PRNGKey(2))
+    before = jax.tree_util.tree_map(np.asarray, bundle.batch_stats)
+    x = np.random.default_rng(0).normal(size=(2, 1, 64, 64)).astype(np.float32)
+
+    eval_out = bundle.apply_nchw(x)  # default eval: no mutation
+    after_eval = jax.tree_util.tree_map(np.asarray, bundle.batch_stats)
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after_eval))
+    )
+
+    train_out = bundle.apply_nchw(x, train=True)
+    assert train_out.shape == eval_out.shape == (2, 2, 64, 64)
+    after_train = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, bundle.batch_stats)
+    )
+    changed = sum(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(before), after_train)
+    )
+    assert changed > 0, "train=True did not update batch statistics"
