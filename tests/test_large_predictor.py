@@ -261,8 +261,11 @@ def test_manager_lazy_ingest_end_to_end(model_path, prediction_settings, tmp_pat
 
     # Lazy path: tiny threshold + small slabs. uint8 source without
     # clipping flows through untransformed -> results must be EXACT.
+    # streaming_threshold below the volume pins the SLAB-STREAMING route
+    # (lazy volumes that fit HBM otherwise take the fused device path).
     prediction_settings.lazy_ingest_threshold = 1000
     prediction_settings.streaming_slab_size = 4
+    prediction_settings.streaming_threshold = 1000
     mgr_lazy = VolSeg2DPredictionManager(model_path, src, prediction_settings)
     assert isinstance(mgr_lazy.data_vol, utils.LazyHDF5Volume)
     assert mgr_lazy.input_data_chunking == (4, 34, 21)
@@ -277,6 +280,7 @@ def test_manager_lazy_ingest_end_to_end(model_path, prediction_settings, tmp_pat
     assert mgr_lazy.data_vol.max_read_voxels < vol.size
     del prediction_settings.lazy_ingest_threshold
     del prediction_settings.streaming_slab_size
+    del prediction_settings.streaming_threshold
 
 
 @pytest.mark.slow
@@ -483,3 +487,49 @@ def test_manager_rejects_all_prediction_axis(model_path, prediction_settings):
     with pytest.raises(ValueError, match="prediction_axis"):
         mgr.predict_volume_to_path(None, Quality.LOW)
     prediction_settings.prediction_axis = "Z"
+
+
+@pytest.mark.slow
+def test_lazy_volume_below_threshold_takes_fused_device_path(
+    model_path, prediction_settings, tmp_path
+):
+    """A lazy-ingested source whose volume fits the HBM regime is uploaded
+    slab-by-slab and predicted with the fused in-memory path (identical
+    voxels, O(slab) host reads) instead of the host-merging streaming
+    predictor."""
+    import volume_segmantics_tpu.utils.base_data_utils as utils_mod
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    rng = np.random.default_rng(31)
+    vol = rng.integers(0, 255, (12, 34, 21)).astype(np.uint8)
+    src = tmp_path / "lazy_fused.h5"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("/data", data=vol, chunks=(4, 34, 21))
+
+    prediction_settings.clip_data = False
+    mgr_eager = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    baseline = mgr_eager.predict_volume_to_path(None, Quality.MEDIUM)
+
+    prediction_settings.lazy_ingest_threshold = 1000
+    prediction_settings.streaming_slab_size = 4
+    # streaming_threshold far above the volume: the fused path must be used
+    prediction_settings.streaming_threshold = 10**9
+    mgr = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    assert isinstance(mgr.data_vol, utils_mod.LazyHDF5Volume)
+    calls = []
+    orig = mgr.predictor._predict_3_ways_max_probs
+
+    def spy(*a, **k):
+        calls.append("fused")
+        return orig(*a, **k)
+
+    mgr.predictor._predict_3_ways_max_probs = spy
+    result = mgr.predict_volume_to_path(None, Quality.MEDIUM)
+    assert calls == ["fused"]
+    # O(slab) host reads even on the fused path
+    assert mgr.data_vol.max_read_voxels <= 4 * 34 * 21
+    np.testing.assert_array_equal(np.asarray(result), np.asarray(baseline))
+    del prediction_settings.lazy_ingest_threshold
+    del prediction_settings.streaming_slab_size
+    del prediction_settings.streaming_threshold
+    prediction_settings.clip_data = True

@@ -62,29 +62,39 @@ def test_two_process_dcn_training(tmp_path):
     import subprocess
     import sys
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    def run_workers():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
 
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update(
-            JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            VOLSEG_TPU_DISTRIBUTED="1",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid),
-            JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp_cache",
-            PYTHONPATH=str(Path(__file__).parent.parent),
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, str(Path(__file__).parent / "dcn_worker.py"),
-             str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        ))
-    outs = [p.communicate(timeout=900) for p in procs]
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                VOLSEG_TPU_DISTRIBUTED="1",
+                JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
+                JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp_cache",
+                PYTHONPATH=str(Path(__file__).parent.parent),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, str(Path(__file__).parent / "dcn_worker.py"),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            ))
+        return procs, [p.communicate(timeout=900) for p in procs]
+
+    # One retry: the coordination service's heartbeat/barrier deadlines can
+    # expire spuriously when the host is heavily CPU-contended (observed
+    # when several test processes share one core).
+    for attempt in range(2):
+        procs, outs = run_workers()
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
     losses = []

@@ -43,6 +43,26 @@ class VolSeg2DPredictionManager(BaseDataManager):
     # stay within a 16 GB chip's HBM with margin.
     HIGH_STREAMING_THRESHOLD_VOXELS = 600 * 1024**2
 
+    def _upload_lazy_to_device(self, vol):
+        """Assemble a lazy/basic-sliceable volume into one device-resident
+        uint8 array, reading (and transforming: clip/uint8 cast) one slab
+        at a time so host memory stays O(slab). The transient device cost
+        is ~2x the volume (slab parts + concatenated result)."""
+        import logging
+
+        import jax.numpy as jnp
+
+        slab = int(getattr(self.settings, "streaming_slab_size", 64))
+        logging.info(
+            f"Uploading lazy volume {tuple(vol.shape)} to device "
+            f"slab-by-slab for fused prediction."
+        )
+        parts = [
+            jnp.asarray(np.ascontiguousarray(vol[s : s + slab]))
+            for s in range(0, vol.shape[0], slab)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
     def predict_volume_to_path(
         self,
         output_path: Union[Path, None],
@@ -70,11 +90,20 @@ class VolSeg2DPredictionManager(BaseDataManager):
         threshold = int(
             getattr(self.settings, "streaming_threshold", default_threshold)
         )
-        # Lazy-ingested volumes (never materialised — see BaseDataManager)
-        # ALWAYS stream: the in-memory dispatch would pull the whole source
-        # through np.asarray.
-        is_lazy = not isinstance(self.data_vol, np.ndarray)
-        if is_lazy or self.data_vol.size > threshold:
+        # Lazy-ingested volumes (never materialised on host — see
+        # BaseDataManager) below the HBM streaming threshold are assembled
+        # ON DEVICE slab-by-slab and take the fully-fused path: the
+        # slab-streaming predictor merges on host, downloading float16
+        # probabilities for every slab — on a slow host<->device link that
+        # is ~15x slower than one upload + one fused sweep (measured 647 s
+        # vs ~40 s for a 1024³ MEDIUM prediction through this API). Host
+        # memory stays O(slab) either way.
+        data_vol = self.data_vol
+        is_lazy = not isinstance(data_vol, np.ndarray)
+        if is_lazy and data_vol.size <= threshold:
+            data_vol = self._upload_lazy_to_device(data_vol)
+            is_lazy = False
+        if is_lazy or data_vol.size > threshold:
             import logging
 
             from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
@@ -82,7 +111,7 @@ class VolSeg2DPredictionManager(BaseDataManager):
             )
 
             logging.info(
-                f"Volume has {self.data_vol.size} voxels (> {threshold}); "
+                f"Volume has {data_vol.size} voxels (> {threshold}); "
                 "using the slab-streaming predictor."
             )
             large = VolSegLargeVolPredictor(
@@ -92,46 +121,46 @@ class VolSeg2DPredictionManager(BaseDataManager):
             if one_hot:
                 if quality == utils.Quality.LOW:
                     prediction = large.predict_single_axis_one_hot(
-                        self.data_vol, axis=preferred_axis
+                        data_vol, axis=preferred_axis
                     )
                 elif quality == utils.Quality.MEDIUM:
-                    prediction = large.predict_3_ways_one_hot(self.data_vol)
+                    prediction = large.predict_3_ways_one_hot(data_vol)
                 else:
-                    prediction = large.predict_12_ways_one_hot(self.data_vol)
+                    prediction = large.predict_12_ways_one_hot(data_vol)
             elif quality == utils.Quality.LOW:
                 prediction, probs = large.predict_single_axis(
-                    self.data_vol,
+                    data_vol,
                     axis=preferred_axis,
                     output_probs=bool(self.settings.output_probs),
                 )
             elif quality == utils.Quality.MEDIUM:
-                prediction, probs = large.predict_3_ways(self.data_vol)
+                prediction, probs = large.predict_3_ways(data_vol)
             else:
-                prediction, probs = large.predict_12_ways(self.data_vol)
+                prediction, probs = large.predict_12_ways(data_vol)
         elif quality == utils.Quality.LOW:
             if one_hot:
                 prediction = self.predictor._predict_single_axis_to_one_hot(
-                    self.data_vol, axis=preferred_axis
+                    data_vol, axis=preferred_axis
                 )
             else:
                 prediction, probs = self.predictor._predict_single_axis(
-                    self.data_vol,
+                    data_vol,
                     output_probs=bool(self.settings.output_probs),
                     axis=preferred_axis,
                 )
         elif quality == utils.Quality.MEDIUM:
             if one_hot:
-                prediction = self.predictor._predict_3_ways_one_hot(self.data_vol)
+                prediction = self.predictor._predict_3_ways_one_hot(data_vol)
             else:
                 prediction, probs = self.predictor._predict_3_ways_max_probs(
-                    self.data_vol, output_probs=self.settings.output_probs
+                    data_vol, output_probs=self.settings.output_probs
                 )
         else:
             if one_hot:
-                prediction = self.predictor._predict_12_ways_one_hot(self.data_vol)
+                prediction = self.predictor._predict_12_ways_one_hot(data_vol)
             else:
                 prediction, probs = self.predictor._predict_12_ways_max_probs(
-                    self.data_vol, output_probs=self.settings.output_probs
+                    data_vol, output_probs=self.settings.output_probs
                 )
         if output_path is not None:
             utils.save_data_to_hdf5(
