@@ -10,10 +10,14 @@ sharding tests; the persistent compilation cache keeps repeat runs fast.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# APPEND the virtual-device flag (setdefault would silently drop it when the
+# environment already exports XLA_FLAGS, degrading every sharding test to a
+# single device).
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax
 
@@ -197,3 +201,12 @@ def session_model_path(tmp_path_factory):
 @pytest.fixture()
 def model_path(session_model_path):
     return session_model_path
+
+
+@pytest.fixture()
+def predictor(model_path, prediction_settings):
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+        VolSeg2dPredictor,
+    )
+
+    return VolSeg2dPredictor(model_path, prediction_settings)

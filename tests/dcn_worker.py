@@ -13,9 +13,14 @@ import numpy as np
 
 
 def main():
+    # Apply VOLSEG_TPU_PLATFORM before any backend initialisation (this
+    # image's TPU plugin ignores the JAX_PLATFORMS env var).
+    from volume_segmantics_tpu.utils.device import configure_platform
+
+    configure_platform()
+
     import jax
     import jax.numpy as jnp
-    import optax
     from types import SimpleNamespace
 
     from volume_segmantics_tpu.data.losses import get_loss_fn

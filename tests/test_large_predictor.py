@@ -15,11 +15,6 @@ from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
 from volume_segmantics_tpu.utils.base_data_utils import Quality
 
 
-@pytest.fixture()
-def predictor(model_path, prediction_settings):
-    return VolSeg2dPredictor(model_path, prediction_settings)
-
-
 @pytest.mark.slow
 def test_streaming_matches_in_memory(predictor, tmp_path):
     vol = np.random.default_rng(0).integers(0, 255, (12, 34, 21)).astype(np.uint8)
@@ -409,9 +404,9 @@ def test_manager_lazy_downsample_materialises_when_small(
     mgr_eager = VolSeg2DPredictionManager(model_path, src, prediction_settings)
     baseline = mgr_eager.predict_volume_to_path(None, Quality.MEDIUM)
 
-    # Downsampled size 6*17*11 = 1122 > threshold 1000 stays lazy (covered
-    # by test_manager_lazy_ingest_with_downsample); threshold 2000
-    # materialises.
+    # Downsampled size 6*17*11 = 1122: above threshold 1000 it stays lazy
+    # (covered by test_manager_lazy_ingest_with_downsample); threshold 1200
+    # exceeds it, so the manager materialises.
     prediction_settings.lazy_ingest_threshold = 1200
     prediction_settings.streaming_slab_size = 4
     # The source itself must still exceed the threshold to be lazy-ingested.

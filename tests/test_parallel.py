@@ -72,6 +72,9 @@ def test_two_process_dcn_training(tmp_path):
             env = dict(os.environ)
             env.update(
                 JAX_PLATFORMS="cpu",
+                # This image's TPU plugin ignores JAX_PLATFORMS; the
+                # package's configure_platform() honours this variable.
+                VOLSEG_TPU_PLATFORM="cpu",
                 XLA_FLAGS="--xla_force_host_platform_device_count=2",
                 VOLSEG_TPU_DISTRIBUTED="1",
                 JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
@@ -86,7 +89,15 @@ def test_two_process_dcn_training(tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True,
             ))
-        return procs, [p.communicate(timeout=900) for p in procs]
+        outs = []
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=900))
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                outs.append(p.communicate())
+        return procs, outs
 
     # One retry: the coordination service's heartbeat/barrier deadlines can
     # expire spuriously when the host is heavily CPU-contended (observed

@@ -11,11 +11,6 @@ from volume_segmantics_tpu.utils.base_data_utils import Axis
 
 
 @pytest.fixture()
-def predictor(model_path, prediction_settings):
-    return VolSeg2dPredictor(model_path, prediction_settings)
-
-
-@pytest.fixture()
 def data_vol():
     return np.random.randint(256, size=(12, 34, 21)).astype(np.uint8)
 
