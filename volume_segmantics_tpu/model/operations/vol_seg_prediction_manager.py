@@ -87,6 +87,10 @@ class VolSeg2DPredictionManager(BaseDataManager):
             if quality == utils.Quality.HIGH or one_hot
             else self.STREAMING_THRESHOLD_VOXELS
         )
+        # The fused path's volumes/outputs are sharded across the data mesh
+        # (GSPMD keeps the pointwise merges distributed), so the per-chip
+        # HBM budget the default thresholds encode scales with the mesh.
+        default_threshold *= max(int(self.predictor.n_dev), 1)
         threshold = int(
             getattr(self.settings, "streaming_threshold", default_threshold)
         )
