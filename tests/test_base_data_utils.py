@@ -319,3 +319,24 @@ class TestStreamingClipDtypeIdentity:
             streamed = u.clip_to_uint8(arr.copy(), mean, 2.575)
             monkeypatch.undo()
             np.testing.assert_array_equal(streamed, eager, err_msg=str(arr.dtype))
+
+    def test_int8_upscales(self):
+        from volume_segmantics_tpu.utils.base_data_utils import img_as_ubyte
+
+        x = np.array([-5, 0, 1, 64, 127], np.int8)
+        np.testing.assert_array_equal(
+            img_as_ubyte(x), np.array([0, 0, 2, 129, 255], np.uint8)
+        )
+
+    def test_threaded_nanstd_matches_serial(self):
+        from volume_segmantics_tpu.utils.base_data_utils import (
+            streaming_nanstd,
+        )
+
+        rng = np.random.default_rng(13)
+        vol = rng.normal(50, 10, (20, 9, 7))
+        vol[3, 1, 2] = np.nan
+        mean = float(np.nanmean(vol))
+        serial = streaming_nanstd(vol, mean, 4)
+        threaded = streaming_nanstd(vol, mean, 4, threads=True)
+        assert serial == threaded

@@ -528,31 +528,3 @@ def test_lazy_volume_below_threshold_takes_fused_device_path(
     del prediction_settings.streaming_slab_size
     del prediction_settings.streaming_threshold
     prediction_settings.clip_data = True
-
-
-def test_streaming_threshold_scales_with_mesh(model_path, prediction_settings,
-                                              monkeypatch):
-    """The default streaming thresholds encode a per-chip HBM budget; on an
-    N-device mesh the fused path's arrays are sharded, so the switchover
-    scales with the mesh (8 virtual devices in tests)."""
-    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
-    from volume_segmantics_tpu.model.operations import (
-        vol_seg_prediction_manager as mgr_mod,
-    )
-
-    vol = np.random.default_rng(33).integers(0, 255, (8, 14, 12)).astype(np.uint8)
-    # Base threshold below the volume, 8x mesh scaling above it: the fused
-    # in-memory path must be chosen.
-    monkeypatch.setattr(
-        mgr_mod.VolSeg2DPredictionManager, "STREAMING_THRESHOLD_VOXELS",
-        vol.size // 2,
-    )
-    mgr = VolSeg2DPredictionManager(model_path, vol, prediction_settings)
-    assert mgr.predictor.n_dev == 8
-    calls = []
-    orig = mgr.predictor._predict_3_ways_max_probs
-    mgr.predictor._predict_3_ways_max_probs = (
-        lambda *a, **k: calls.append(1) or orig(*a, **k)
-    )
-    mgr.predict_volume_to_path(None, Quality.MEDIUM)
-    assert calls, "expected the fused path under mesh-scaled threshold"

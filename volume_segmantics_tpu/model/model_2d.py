@@ -45,6 +45,10 @@ class ModelBundle:
         bundle (the stateful-torch behaviour this API mirrors)."""
         x = jnp.transpose(jnp.asarray(x_nchw), (0, 2, 3, 1))
         if train:
+            if rngs is None:
+                # Architectures with dropout (FPN, DeepLabV3) need a
+                # 'dropout' PRNG in training mode; default deterministic.
+                rngs = {"dropout": jax.random.PRNGKey(0)}
             logits, mutated = self.module.apply(
                 self.variables, x, train=True, mutable=["batch_stats"],
                 rngs=rngs,

@@ -87,10 +87,12 @@ class VolSeg2DPredictionManager(BaseDataManager):
             if quality == utils.Quality.HIGH or one_hot
             else self.STREAMING_THRESHOLD_VOXELS
         )
-        # The fused path's volumes/outputs are sharded across the data mesh
-        # (GSPMD keeps the pointwise merges distributed), so the per-chip
-        # HBM budget the default thresholds encode scales with the mesh.
-        default_threshold *= max(int(self.predictor.n_dev), 1)
+        # NOTE: the thresholds deliberately do NOT scale with the mesh size.
+        # Although the jitted sweeps shard their internals, the input volume
+        # (and the eager rot90 copies feeding the 12-way programs) is
+        # materialised on a single device before the first jit boundary, so
+        # a single chip's HBM remains the binding budget. Scaling would need
+        # a sharded device_put of the upload itself.
         threshold = int(
             getattr(self.settings, "streaming_threshold", default_threshold)
         )

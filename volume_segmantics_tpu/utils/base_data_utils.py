@@ -312,16 +312,30 @@ def streaming_nanmean(vol, slab_slices: int = 64) -> float:
     return total / max(n_valid, 1)
 
 
-def streaming_nanstd(vol, mean: float, slab_slices: int = 64) -> float:
-    """Slab-streamed NaN-ignoring standard deviation about `mean`."""
-    sq_sum = 0.0
-    n_valid = 0
-    for start in range(0, vol.shape[0], slab_slices):
+def streaming_nanstd(vol, mean: float, slab_slices: int = 64,
+                     threads: bool = False) -> float:
+    """Slab-streamed NaN-ignoring standard deviation about `mean`.
+
+    With ``threads=True`` the per-slab moments run on a thread pool (numpy
+    releases the GIL on large ufuncs); the reduction stays in slab order so
+    the result is bit-identical to the serial path."""
+
+    def moments(start):
         x = np.asarray(vol[start:start + slab_slices], dtype=np.float64)
         nan_mask = np.isnan(x)
         d = np.where(nan_mask, mean, x) - mean
-        sq_sum += float((d * d).sum())
-        n_valid += int(x.size - nan_mask.sum())
+        return float((d * d).sum()), int(x.size - nan_mask.sum())
+
+    starts = range(0, vol.shape[0], slab_slices)
+    if threads:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor() as pool:
+            results = list(pool.map(moments, starts))
+    else:
+        results = [moments(s) for s in starts]
+    sq_sum = sum(r[0] for r in results)
+    n_valid = sum(r[1] for r in results)
     return float(np.sqrt(sq_sum / max(n_valid, 1)))
 
 
@@ -415,7 +429,9 @@ def _clip_to_uint8_streaming(
         for i in range(0, data.shape[0], _CLIP_SLAB_SLICES)
     ]
 
-    data_st_dev = streaming_nanstd(data, data_mean, _CLIP_SLAB_SLICES)
+    data_st_dev = streaming_nanstd(
+        data, data_mean, _CLIP_SLAB_SLICES, threads=True
+    )
 
     lower_bound = data_mean - (data_st_dev * st_dev_factor)
     upper_bound = data_mean + (data_st_dev * st_dev_factor)
@@ -567,7 +583,13 @@ def img_as_ubyte(data: np.ndarray) -> np.ndarray:
         return (data >> shift).astype(np.uint8)
     if np.issubdtype(data.dtype, np.signedinteger):
         # skimage clips negatives then scales the positive (n-1)-bit range
-        # down to 8 bits by floor division (int16 -> uint8 is >> 7).
+        # down to 8 bits by floor division (int16 -> uint8 is >> 7); int8's
+        # 7-bit range UPscales (255/127, rounded) instead.
         shift = 8 * data.dtype.itemsize - 1 - 8
-        return (np.clip(data, 0, None) >> shift).astype(np.uint8)
+        clipped = np.clip(data, 0, None)
+        if shift < 0:
+            return np.rint(clipped.astype(np.float64) * (255.0 / 127.0)).astype(
+                np.uint8
+            )
+        return (clipped >> shift).astype(np.uint8)
     raise ValueError(f"Unsupported dtype for image conversion: {data.dtype}")
