@@ -528,3 +528,50 @@ def test_lazy_volume_below_threshold_takes_fused_device_path(
     del prediction_settings.streaming_slab_size
     del prediction_settings.streaming_threshold
     prediction_settings.clip_data = True
+
+
+def test_lazy_fused_upload_is_sharded_on_mesh(model_path, prediction_settings):
+    """On a multi-device mesh the lazy fused-path upload is built sharded
+    along the slice axis (per-chip HBM holds ~1/n_dev), and a lazy volume
+    above the single-chip threshold but within the mesh-scaled budget still
+    takes the fused path with identical results."""
+    import h5py as h5
+    import jax
+
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+    import volume_segmantics_tpu.utils.base_data_utils as utils_mod
+
+    import tempfile
+
+    tmp = Path(tempfile.mkdtemp())
+    rng = np.random.default_rng(41)
+    vol = rng.integers(0, 255, (16, 34, 21)).astype(np.uint8)
+    src = tmp / "shard_up.h5"
+    with h5.File(src, "w") as f:
+        f.create_dataset("/data", data=vol, chunks=(4, 34, 21))
+
+    prediction_settings.clip_data = False
+    mgr_eager = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    baseline = mgr_eager.predict_volume_to_path(None, Quality.MEDIUM)
+
+    prediction_settings.lazy_ingest_threshold = 1000
+    prediction_settings.streaming_slab_size = 4
+    # Between 1x and 8x the per-chip threshold: fused only via the sharded
+    # mesh budget (8 virtual devices in tests).
+    prediction_settings.streaming_threshold = vol.size // 2
+    mgr = VolSeg2DPredictionManager(model_path, src, prediction_settings)
+    assert isinstance(mgr.data_vol, utils_mod.LazyHDF5Volume)
+
+    dev_arr = mgr._upload_lazy_to_device(mgr.data_vol)
+    assert len(dev_arr.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(dev_arr), vol)
+
+    calls = []
+    orig = mgr.predictor._predict_3_ways_max_probs
+    mgr.predictor._predict_3_ways_max_probs = (
+        lambda *a, **k: calls.append(1) or orig(*a, **k)
+    )
+    result = mgr.predict_volume_to_path(None, Quality.MEDIUM)
+    assert calls, "expected the fused path under the mesh-scaled lazy budget"
+    np.testing.assert_array_equal(np.asarray(result), np.asarray(baseline))
+    prediction_settings.clip_data = True

@@ -45,14 +45,41 @@ class VolSeg2DPredictionManager(BaseDataManager):
 
     def _upload_lazy_to_device(self, vol):
         """Assemble a lazy/basic-sliceable volume into one device-resident
-        uint8 array, reading (and transforming: clip/uint8 cast) one slab
-        at a time so host memory stays O(slab). The transient device cost
-        is ~2x the volume (slab parts + concatenated result)."""
+        uint8 array, reading (and transforming: clip/uint8 cast) bounded
+        chunks at a time so host memory stays O(chunk).
+
+        On a multi-device mesh the array is built SHARDED along the slice
+        axis (each device's shard is read straight from the lazy source via
+        jax.make_array_from_callback), so per-chip HBM holds ~1/n_dev of
+        the volume and the fused sweeps consume it without a reshard. On a
+        single device it is a plain slab-wise concatenate (transient device
+        cost ~2x the volume)."""
         import logging
 
+        import jax
         import jax.numpy as jnp
 
         slab = int(getattr(self.settings, "streaming_slab_size", 64))
+        n_dev = max(int(self.predictor.n_dev), 1)
+        if n_dev > 1 and vol.shape[0] % n_dev == 0:
+            from volume_segmantics_tpu.parallel.mesh import batch_sharding
+
+            try:
+                sharding = batch_sharding(self.predictor.mesh)
+                logging.info(
+                    f"Uploading lazy volume {tuple(vol.shape)} sharded over "
+                    f"{n_dev} devices for fused prediction."
+                )
+                return jax.make_array_from_callback(
+                    tuple(vol.shape),
+                    sharding,
+                    lambda idx: np.ascontiguousarray(vol[idx]),
+                )
+            except Exception as e:  # pragma: no cover - sharding edge case
+                logging.warning(
+                    f"Sharded lazy upload failed ({e}); falling back to a "
+                    "single-device upload."
+                )
         logging.info(
             f"Uploading lazy volume {tuple(vol.shape)} to device "
             f"slab-by-slab for fused prediction."
@@ -87,18 +114,17 @@ class VolSeg2DPredictionManager(BaseDataManager):
             if quality == utils.Quality.HIGH or one_hot
             else self.STREAMING_THRESHOLD_VOXELS
         )
-        # NOTE: the thresholds deliberately do NOT scale with the mesh size.
-        # Although the jitted sweeps shard their internals, the input volume
-        # (and the eager rot90 copies feeding the 12-way programs) is
-        # materialised on a single device before the first jit boundary, so
-        # a single chip's HBM remains the binding budget. Scaling would need
-        # a sharded device_put of the upload itself.
+        # NOTE: the base thresholds encode a SINGLE chip's HBM: a
+        # host-materialised ndarray uploads to one device before the first
+        # jit boundary. Lazy sources are different — their fused-path
+        # upload is sharded across the mesh (see _upload_lazy_to_device),
+        # so their eligibility scales with the device count.
         threshold = int(
             getattr(self.settings, "streaming_threshold", default_threshold)
         )
         # Lazy-ingested volumes (never materialised on host — see
-        # BaseDataManager) below the HBM streaming threshold are assembled
-        # ON DEVICE slab-by-slab and take the fully-fused path: the
+        # BaseDataManager) that fit the (mesh-scaled) HBM budget are
+        # assembled ON DEVICE and take the fully-fused path: the
         # slab-streaming predictor merges on host, downloading float16
         # probabilities for every slab — on a slow host<->device link that
         # is ~15x slower than one upload + one fused sweep (measured 647 s
@@ -106,10 +132,18 @@ class VolSeg2DPredictionManager(BaseDataManager):
         # memory stays O(slab) either way.
         data_vol = self.data_vol
         is_lazy = not isinstance(data_vol, np.ndarray)
-        if is_lazy and data_vol.size <= threshold:
+        uploaded = False
+        n_dev = max(int(self.predictor.n_dev), 1)
+        # The sharded upload needs the slice axis to split evenly across
+        # the mesh; otherwise the upload lands on one device and the
+        # single-chip threshold stays binding.
+        shardable = n_dev > 1 and data_vol.shape[0] % n_dev == 0
+        lazy_fused_limit = threshold * (n_dev if shardable else 1)
+        if is_lazy and data_vol.size <= lazy_fused_limit:
             data_vol = self._upload_lazy_to_device(data_vol)
             is_lazy = False
-        if is_lazy or data_vol.size > threshold:
+            uploaded = True
+        if is_lazy or (not uploaded and data_vol.size > threshold):
             import logging
 
             from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
