@@ -10,18 +10,26 @@ wall-clock; Dice parity". This script measures, on the attached device:
 2. `predict_512cube_12way_wallclock_s` — the reference tutorial's predict
    workload scale (reference training_data/README.md:19).
 3. `train_slices_per_sec_chip` — fused train step (augmentation + forward +
-   backward + AdamW) at the reference's batch size 12.
+   backward + AdamW) at perf batch 32 and the reference's parity batch 12,
+   plus `train_mfu_pct` (model-FLOPs utilisation: 3x forward FLOPs from the
+   compiled forward's XLA cost analysis over the device's peak bf16 rate).
 4. `tutorial_dice` — end-to-end training on the synthetic vessels volume
    (tools/make_tutorial_data.py) followed by 12-way prediction, scored as
    binary Dice against the ground-truth labels.
 
-Prints ONE JSON line: the headline metric in the driver schema, the rest
-under "extra".
+Robustness contract (VERDICT r3 #1): this script ALWAYS prints exactly one
+JSON line and exits 0. Backend initialisation runs first in a SUBPROCESS
+with a hard timeout (a hung PJRT plugin init cannot stall the bench) and
+bounded retries with backoff; if the backend never comes up, or any stage
+fails unrecoverably, the line carries an "error" field instead of silently
+producing no parseable record.
 """
 
 import json
 import logging
+import os
 import statistics
+import subprocess
 import sys
 import tempfile
 import time
@@ -33,6 +41,103 @@ logging.basicConfig(level=logging.WARNING)
 
 TARGET_SECONDS = 10.0
 CACHE_DIR = Path("/root/.cache/volseg_bench")
+
+HEADLINE = "unet_resnet34_12way_tta_predict_256cube_wallclock"
+
+# Peak dense bf16 matmul throughput per chip, by device_kind substring.
+# Sources: public TPU spec sheets (v4 275, v5e 197, v5p 459, v6e 918 TFLOP/s).
+PEAK_BF16_FLOPS = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197.0e12),
+    ("v5e", 197.0e12),
+    ("v5litepod", 197.0e12),
+    ("v5", 459e12),  # plain "TPU v5" -> v5p
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def _peak_flops(device_kind: str):
+    dk = device_kind.lower()
+    for sub, peak in PEAK_BF16_FLOPS:
+        if sub in dk:
+            return peak
+    return None
+
+
+def _emit(value, extra, error=None):
+    """The ONE output line, in the driver schema. Never raises."""
+    rec = {
+        "metric": HEADLINE,
+        "value": value,
+        "unit": "s",
+        "vs_baseline": (round(TARGET_SECONDS / value, 3) if value else None),
+        "extra": extra,
+    }
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec))
+
+
+_PROBE_SRC = """
+import os, sys
+import jax
+try:
+    # Honour VOLSEG_TPU_PLATFORM (the image's TPU plugin ignores the
+    # JAX_PLATFORMS env var, so CPU fallback must go through the config API).
+    from volume_segmantics_tpu.utils.device import configure_platform
+    configure_platform()
+except Exception:
+    pass
+ds = jax.devices()
+print("OK", ds[0].platform, getattr(ds[0], "device_kind", "?"), len(ds))
+"""
+
+
+def probe_backend(attempts=None, probe_timeout=None, backoff=None):
+    """Initialise JAX in a subprocess (so a hung plugin init is killable)
+    with bounded retries. Returns (platform, device_kind) or (None, reason).
+    """
+    attempts = attempts or int(os.environ.get("VOLSEG_BENCH_PROBE_ATTEMPTS", 4))
+    probe_timeout = probe_timeout or int(
+        os.environ.get("VOLSEG_BENCH_PROBE_TIMEOUT", 300)
+    )
+    backoff = backoff or int(os.environ.get("VOLSEG_BENCH_PROBE_BACKOFF", 30))
+    reason = "unknown"
+    for i in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+                env={**os.environ},
+            )
+            out = r.stdout.strip().splitlines()
+            ok = [ln for ln in out if ln.startswith("OK ")]
+            if r.returncode == 0 and ok:
+                _, platform, kind, n = ok[0].split(" ", 3)
+                print(
+                    f"# backend probe ok in {time.time() - t0:.0f}s: "
+                    f"{platform} {kind} x{n}",
+                    file=sys.stderr,
+                )
+                return platform, kind
+            reason = f"probe rc={r.returncode}: {(r.stderr or r.stdout)[-300:]}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe timed out after {probe_timeout}s"
+        except Exception as e:  # pragma: no cover
+            reason = f"probe error: {e}"
+        print(
+            f"# backend probe attempt {i + 1}/{attempts} failed ({reason}); "
+            f"retrying in {backoff}s",
+            file=sys.stderr,
+        )
+        time.sleep(backoff)
+    return None, reason
 
 
 def _tutorial_volumes(side=256):
@@ -62,16 +167,21 @@ def _median_time(fn, n=3):
 
 def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
     """Fused DP train step throughput (augmentation on), like the trainer
-    runs it: async dispatch, one sync at the end."""
+    runs it: async dispatch, one sync at the end. Returns
+    (slices_per_sec, model_flops_per_slice) where the FLOPs figure is
+    3x the compiled forward's XLA cost-analysis FLOPs (fwd + ~2x for bwd),
+    the standard MFU numerator."""
     import jax
     import jax.numpy as jnp
-    import optax
     from types import SimpleNamespace
 
     from volume_segmantics_tpu.data.losses import get_loss_fn
     from volume_segmantics_tpu.model.model_2d import create_model_on_device
     from volume_segmantics_tpu.parallel.mesh import get_mesh
-    from volume_segmantics_tpu.parallel.train import build_dp_train_step
+    from volume_segmantics_tpu.parallel.train import (
+        build_dp_train_step,
+        make_base_optimizer,
+    )
     from volume_segmantics_tpu.utils.base_data_utils import ModelType
 
     struc = {
@@ -84,7 +194,6 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
     bundle = create_model_on_device(0, struc, dtype=jnp.bfloat16)
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
-    from volume_segmantics_tpu.parallel.train import make_base_optimizer
     tx = make_base_optimizer(weight_decay=0.01)
     mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
     opt_state = tx.init(bundle.params)
@@ -94,6 +203,23 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
         image_size=image_size, mesh=mesh, compute_dtype=jnp.bfloat16,
         augment=True,
     )
+
+    # Model FLOPs per slice from the compiled forward's cost analysis.
+    flops_per_slice = None
+    try:
+        fwd = jax.jit(
+            lambda v, x: bundle.module.apply(v, x, train=False)
+        )
+        x = jnp.zeros((batch, image_size, image_size, 1), jnp.bfloat16)
+        cost = fwd.lower(bundle.variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        fwd_flops = float(cost.get("flops", 0.0))
+        if fwd_flops > 0:
+            flops_per_slice = 3.0 * fwd_flops / batch
+    except Exception as e:  # pragma: no cover - cost analysis is best-effort
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (batch, image_size, image_size),
                                       dtype=np.uint8))
@@ -116,16 +242,17 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
         _ = np.asarray(loss)
         dt = time.perf_counter() - t0
         best = max(best, steps * batch / dt)
-    return best
+    return best, flops_per_slice
 
 
 def train_tutorial_and_dice(data, labels, workdir: Path):
     """Train on the synthetic vessels volume and return (dice, model_path)."""
-    from types import SimpleNamespace
-
     import volume_segmantics_tpu.utils.base_data_utils as utils
     from volume_segmantics_tpu.data import TrainingDataSlicer, get_settings_data
-    from volume_segmantics_tpu.model import VolSeg2dTrainer
+    from volume_segmantics_tpu.model import (
+        VolSeg2dTrainer,
+        VolSeg2DPredictionManager,
+    )
 
     settings = get_settings_data(
         Path(__file__).parent / "volseg-settings" / "2d_model_train_settings.yaml"
@@ -150,7 +277,6 @@ def train_tutorial_and_dice(data, labels, workdir: Path):
     pred_settings.clip_data = False
     pred_settings.one_hot = False
     pred_settings.output_probs = False
-    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
 
     mgr = VolSeg2DPredictionManager(model_path, data, pred_settings)
     prediction = mgr.predict_volume_to_path(None, utils.Quality.HIGH)
@@ -161,12 +287,12 @@ def train_tutorial_and_dice(data, labels, workdir: Path):
     return dice, model_path
 
 
-def main():
+def run_bench(extra):
+    """All measurement stages. Mutates `extra` in place as results land so
+    a late-stage failure still reports everything measured before it.
+    Returns the headline wall-clock (256^3 12-way) or raises."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    import jax.numpy as jnp
     from types import SimpleNamespace
 
     import volume_segmantics_tpu.utils.config as cfg
@@ -177,9 +303,12 @@ def main():
     from volume_segmantics_tpu.models.checkpoint import save_checkpoint
     from volume_segmantics_tpu.utils.base_data_utils import ModelType
 
-    platform = jax.devices()[0].platform
+    dev = jax.devices()[0]
+    platform = dev.platform
+    device_kind = getattr(dev, "device_kind", "?")
+    extra["platform"] = platform
+    extra["device_kind"] = device_kind
     print(f"# devices: {jax.devices()} (platform={platform})", file=sys.stderr)
-    extra = {}
 
     # --- Train throughput ---------------------------------------------------
     # Perf mode (batch 32) is the headline: the settings expose batch_size
@@ -187,16 +316,28 @@ def main():
     # batch 12 (the reference's GPU-era constant) is kept as the parity
     # default and reported alongside.
     print("# measuring train step throughput...", file=sys.stderr)
-    extra["train_slices_per_sec_chip"] = round(
-        measure_train_slices_per_sec(batch=32), 1
-    )
-    print(f"# train slices/s (b32): {extra['train_slices_per_sec_chip']}",
-          file=sys.stderr)
-    extra["train_slices_per_sec_chip_b12"] = round(
-        measure_train_slices_per_sec(batch=12), 1
-    )
-    print(f"# train slices/s (b12): {extra['train_slices_per_sec_chip_b12']}",
-          file=sys.stderr)
+    peak = _peak_flops(device_kind) if platform == "tpu" else None
+    sps32, flops_per_slice = measure_train_slices_per_sec(batch=32)
+    extra["train_slices_per_sec_chip"] = round(sps32, 1)
+    if flops_per_slice:
+        extra["model_gflops_per_slice_fwdbwd"] = round(flops_per_slice / 1e9, 2)
+        if peak:
+            extra["train_mfu_pct"] = round(
+                100.0 * sps32 * flops_per_slice / peak, 2
+            )
+    print(f"# train slices/s (b32): {sps32:.1f} "
+          f"(mfu={extra.get('train_mfu_pct')}%)", file=sys.stderr)
+    sps12, _ = measure_train_slices_per_sec(batch=12)
+    extra["train_slices_per_sec_chip_b12"] = round(sps12, 1)
+    print(f"# train slices/s (b12): {sps12:.1f}", file=sys.stderr)
+    sps128, _ = measure_train_slices_per_sec(batch=128, steps=12)
+    extra["train_slices_per_sec_chip_b128"] = round(sps128, 1)
+    if flops_per_slice and peak:
+        extra["train_mfu_pct_b128"] = round(
+            100.0 * sps128 * flops_per_slice / peak, 2
+        )
+    print(f"# train slices/s (b128): {sps128:.1f} "
+          f"(mfu={extra.get('train_mfu_pct_b128')}%)", file=sys.stderr)
 
     # --- Predict wall-clocks ------------------------------------------------
     struc = {
@@ -207,6 +348,7 @@ def main():
         "classes": 2,
     }
     bundle = create_model_on_device(0, struc)
+    elapsed256 = None
     with tempfile.TemporaryDirectory() as td:
         ckpt = Path(td) / "bench_model.pytorch"
         save_checkpoint(ckpt, bundle.variables, struc, label_codes={})
@@ -219,7 +361,7 @@ def main():
         rng = np.random.default_rng(0)
 
         vol256 = rng.integers(0, 255, (256,) * 3).astype(np.uint8)
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 print("# warm-up (compile) 256**3...", file=sys.stderr)
                 predictor._predict_12_ways_max_probs(vol256, output_probs=False)
@@ -230,7 +372,7 @@ def main():
                 )
                 break
             except Exception as e:  # pragma: no cover - transient tunnel issue
-                if attempt == 1:
+                if attempt == 2:
                     raise
                 print(f"# attempt failed ({e}); retrying in 30s", file=sys.stderr)
                 time.sleep(30)
@@ -272,17 +414,31 @@ def main():
             print(f"# tutorial training failed: {e}", file=sys.stderr)
             extra["tutorial_dice"] = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "unet_resnet34_12way_tta_predict_256cube_wallclock",
-                "value": round(elapsed256, 3),
-                "unit": "s",
-                "vs_baseline": round(TARGET_SECONDS / elapsed256, 3),
-                "extra": extra,
-            }
-        )
-    )
+    return elapsed256
+
+
+def main():
+    extra = {}
+    platform, kind_or_reason = probe_backend()
+    if platform is None:
+        _emit(None, extra, error=f"backend-unavailable: {kind_or_reason}")
+        return
+
+    try:
+        from volume_segmantics_tpu.utils.device import configure_platform
+
+        configure_platform()
+    except Exception as e:  # pragma: no cover
+        print(f"# configure_platform failed: {e}", file=sys.stderr)
+
+    try:
+        elapsed256 = run_bench(extra)
+        _emit(round(elapsed256, 3), extra)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit(None, extra, error=f"{type(e).__name__}: {str(e)[:400]}")
 
 
 if __name__ == "__main__":
