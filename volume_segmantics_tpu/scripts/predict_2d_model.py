@@ -37,7 +37,9 @@ def main():
     args = get_2d_prediction_parser().parse_args()
     root = Path(getattr(args, cfg.DATA_DIR_ARG)).resolve()
     data_path = Path(getattr(args, cfg.PREDICT_DATA_ARG))
-    settings = get_settings_data(root / cfg.SETTINGS_DIR / cfg.PREDICTION_SETTINGS_FN)
+    settings = get_settings_data(
+        root / cfg.SETTINGS_DIR / cfg.PREDICTION_SETTINGS_FN, kind="prediction"
+    )
     manager = VolSeg2DPredictionManager(
         getattr(args, cfg.MODEL_PTH_ARG), data_path, settings
     )

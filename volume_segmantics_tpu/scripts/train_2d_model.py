@@ -86,7 +86,9 @@ def main():
         level=logging.INFO, format=cfg.LOGGING_FMT, datefmt=cfg.LOGGING_DATE_FMT
     )
     data_vols, label_vols, root = _parse_cli()
-    settings = get_settings_data(root / cfg.SETTINGS_DIR / cfg.TRAIN_SETTINGS_FN)
+    settings = get_settings_data(
+        root / cfg.SETTINGS_DIR / cfg.TRAIN_SETTINGS_FN, kind="training"
+    )
     inputs, max_labels, label_codes, last_slicer = _slice_all_volumes(
         data_vols, label_vols, settings, root
     )
