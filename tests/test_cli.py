@@ -92,3 +92,43 @@ def test_cli_error_paths(cli_workspace):
     )
     assert r.returncode == 2
     assert "does not appear to exist" in r.stderr
+
+
+def test_resolve_training_phases(tmp_path, monkeypatch):
+    """skip_frozen_without_pretrained folds frozen epochs into the unfrozen
+    phase exactly when pretrained weights are requested-but-unavailable
+    (VERDICT r3 #8; reference trainer :102-116 freeze rationale)."""
+    from types import SimpleNamespace
+
+    from volume_segmantics_tpu.models.pretrained import WEIGHTS_DIR_ENV
+    from volume_segmantics_tpu.scripts.train_2d_model import (
+        resolve_training_phases,
+    )
+
+    def mk(**kw):
+        base = dict(
+            num_cyc_frozen=8,
+            num_cyc_unfrozen=5,
+            model={"type": "U_Net", "encoder_name": "resnet34",
+                   "encoder_weights": "imagenet"},
+        )
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    monkeypatch.delenv(WEIGHTS_DIR_ENV, raising=False)
+    # Default off: parity schedule preserved even with no weights anywhere.
+    assert resolve_training_phases(mk()) == (8, 5)
+    # On + no weights cache: all 13 epochs run unfrozen.
+    assert resolve_training_phases(
+        mk(skip_frozen_without_pretrained=True)
+    ) == (0, 13)
+    # On + random init requested (encoder_weights: None): also folds.
+    s = mk(skip_frozen_without_pretrained=True)
+    s.model = {**s.model, "encoder_weights": None}
+    assert resolve_training_phases(s) == (0, 13)
+    # On + converted weights present in the cache: schedule untouched.
+    (tmp_path / "resnet34.vstpu").write_bytes(b"stub")
+    monkeypatch.setenv(WEIGHTS_DIR_ENV, str(tmp_path))
+    assert resolve_training_phases(
+        mk(skip_frozen_without_pretrained=True)
+    ) == (8, 5)

@@ -30,6 +30,12 @@ def _weights_path(encoder_name: str) -> Optional[Path]:
     return path if path.exists() else None
 
 
+def pretrained_weights_available(encoder_name: str) -> bool:
+    """True when a converted ImageNet weight file for `encoder_name` exists
+    in the $VOLSEG_TPU_WEIGHTS_DIR cache (cheap: no model build, no load)."""
+    return _weights_path(encoder_name) is not None
+
+
 def _adapt_first_conv(kernel: np.ndarray, in_channels: int) -> np.ndarray:
     """Adapt an HWIO kernel pretrained on 3-channel input to `in_channels`
     by summing over the input-channel axis (the smp patch_first_conv

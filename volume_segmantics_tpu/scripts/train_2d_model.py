@@ -64,11 +64,43 @@ def _model_output_path(settings, root: Path) -> Path:
     return root / f"{date.today()}_{mtype}_{settings.model_output_fn}.pytorch"
 
 
+def resolve_training_phases(settings) -> tuple:
+    """(frozen_epochs, unfrozen_epochs) for the two-phase schedule.
+
+    The frozen phase exists to protect PRETRAINED encoder features while the
+    decoder adapts (reference trainer :102-116). With a random encoder it
+    trains frozen random convolutions — poorly. When the opt-in setting
+    ``skip_frozen_without_pretrained: True`` is set and no converted
+    ImageNet weights are available for the configured encoder, the frozen
+    epochs fold into the unfrozen phase so the shipped 8+5 schedule still
+    spends all 13 epochs learning. Default is off: reference-parity
+    behaviour (warn-only, inside the trainer) is preserved."""
+    frozen_epochs = int(settings.num_cyc_frozen)
+    unfrozen_epochs = int(settings.num_cyc_unfrozen)
+    if frozen_epochs > 0 and bool(
+        getattr(settings, "skip_frozen_without_pretrained", False)
+    ):
+        from volume_segmantics_tpu.models.pretrained import (
+            pretrained_weights_available,
+        )
+
+        encoder = settings.model.get("encoder_name", "resnet34")
+        wants_pretrained = settings.model.get("encoder_weights") == "imagenet"
+        if not (wants_pretrained and pretrained_weights_available(encoder)):
+            logging.warning(
+                f"No pretrained weights available for encoder '{encoder}' "
+                f"(skip_frozen_without_pretrained is on): folding "
+                f"{frozen_epochs} frozen epochs into the unfrozen phase "
+                f"({frozen_epochs + unfrozen_epochs} unfrozen epochs total)."
+            )
+            return 0, frozen_epochs + unfrozen_epochs
+    return frozen_epochs, unfrozen_epochs
+
+
 def _run_training_phases(trainer, model_out: Path, settings) -> None:
     """Frozen-encoder phase (when configured) followed by fine-tuning, with
     the reference's create/warm-start semantics."""
-    frozen_epochs = settings.num_cyc_frozen
-    unfrozen_epochs = settings.num_cyc_unfrozen
+    frozen_epochs, unfrozen_epochs = resolve_training_phases(settings)
     patience = settings.patience
     if frozen_epochs > 0:
         trainer.train_model(model_out, frozen_epochs, patience,
