@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Generate docs/API_REFERENCE.md from the package's docstrings.
+
+The reference ships generated pdoc HTML (reference docs/index.html); pdoc
+is not available in this environment, so this is a small dependency-free
+equivalent: it imports every module under volume_segmantics_tpu, walks the
+public surface (module docstring, classes with their public methods,
+functions, dataclass fields), and emits one markdown file with signatures
+and full docstrings. Regenerate after API changes:
+
+    VOLSEG_TPU_PLATFORM=cpu python tools/gen_api_docs.py
+
+CI-checkable: runs deterministically, so `git diff --exit-code docs/`
+after regeneration catches drift.
+"""
+
+import dataclasses
+import importlib
+import inspect
+import pkgutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import volume_segmantics_tpu as pkg
+
+OUT = Path(__file__).resolve().parent.parent / "docs" / "API_REFERENCE.md"
+
+# Modules that require optional heavy deps or multi-process context are
+# still documented if importable; failures are listed at the end.
+
+
+def _signature(obj) -> str:
+    try:
+        return str(inspect.signature(obj))
+    except (ValueError, TypeError):
+        return "(...)"
+
+
+def _doc(obj) -> str:
+    doc = inspect.getdoc(obj)
+    return doc.strip() if doc else ""
+
+
+def _is_public(name: str) -> bool:
+    return not name.startswith("_")
+
+
+def _iter_modules():
+    yield pkg.__name__
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        yield info.name
+
+
+def _document_class(cls, lines):
+    lines.append(f"### class `{cls.__name__}{_signature(cls)}`\n")
+    doc = _doc(cls)
+    if doc:
+        lines.append(doc + "\n")
+    if dataclasses.is_dataclass(cls):
+        fields = dataclasses.fields(cls)
+        if fields:
+            lines.append("**Fields:**\n")
+            for f in fields:
+                t = getattr(f.type, "__name__", str(f.type))
+                lines.append(f"- `{f.name}: {t}`")
+            lines.append("")
+    methods = [
+        (n, m)
+        for n, m in inspect.getmembers(cls)
+        if _is_public(n)
+        and (inspect.isfunction(m) or inspect.ismethod(m))
+        and n in cls.__dict__
+    ]
+    for n, m in methods:
+        lines.append(f"#### `{cls.__name__}.{n}{_signature(m)}`\n")
+        mdoc = _doc(m)
+        if mdoc:
+            lines.append(mdoc + "\n")
+    # Classmethods/staticmethods not caught above
+    for n, raw in cls.__dict__.items():
+        if _is_public(n) and isinstance(raw, (classmethod, staticmethod)):
+            fn = raw.__func__
+            kind = "classmethod" if isinstance(raw, classmethod) else "staticmethod"
+            lines.append(
+                f"#### `{cls.__name__}.{n}{_signature(fn)}` *({kind})*\n"
+            )
+            mdoc = _doc(fn)
+            if mdoc:
+                lines.append(mdoc + "\n")
+
+
+def main():
+    lines = [
+        "# API reference",
+        "",
+        "*Generated from docstrings by `tools/gen_api_docs.py` — do not edit"
+        " by hand; regenerate after API changes.*",
+        "",
+    ]
+    failures = []
+    for mod_name in _iter_modules():
+        try:
+            mod = importlib.import_module(mod_name)
+        except Exception as e:  # pragma: no cover - optional deps
+            failures.append((mod_name, repr(e)))
+            continue
+        public_classes = [
+            c
+            for n, c in inspect.getmembers(mod, inspect.isclass)
+            if _is_public(n) and c.__module__ == mod_name
+        ]
+        public_fns = [
+            f
+            for n, f in inspect.getmembers(mod, inspect.isfunction)
+            if _is_public(n) and f.__module__ == mod_name
+        ]
+        moddoc = _doc(mod)
+        if not (public_classes or public_fns or moddoc):
+            continue
+        lines.append(f"## `{mod_name}`\n")
+        if moddoc:
+            lines.append(moddoc + "\n")
+        for cls in public_classes:
+            _document_class(cls, lines)
+        for fn in public_fns:
+            lines.append(f"### `{fn.__name__}{_signature(fn)}`\n")
+            fdoc = _doc(fn)
+            if fdoc:
+                lines.append(fdoc + "\n")
+    if failures:
+        lines.append("## Modules not importable in this environment\n")
+        for name, err in failures:
+            lines.append(f"- `{name}`: {err}")
+        lines.append("")
+    OUT.write_text("\n".join(lines) + "\n")
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes, "
+          f"{len(failures)} import failures)")
+
+
+if __name__ == "__main__":
+    main()
