@@ -141,3 +141,41 @@ class TestBatchBackoff:
         with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
             predictor._predict_single_axis(data_vol)
         assert predictor.batch_size == start
+
+
+@pytest.mark.slow
+def test_per_arch_prediction_batch_cap(tmp_path, prediction_settings,
+                                       monkeypatch):
+    """VMEM-heavy decoders start at their preset batch cap
+    (cfg.PRED_BATCH_CAPS) instead of compile-fail-halving from
+    BIG_PRED_BATCH; an explicit settings override bypasses the cap."""
+    import volume_segmantics_tpu.utils.config as cfg
+    from volume_segmantics_tpu.model.model_2d import create_model_on_device
+    from volume_segmantics_tpu.models.checkpoint import save_checkpoint
+    from volume_segmantics_tpu.utils.base_data_utils import ModelType
+
+    struc = {
+        "type": ModelType.DEEPLABV3_PLUS,
+        "encoder_name": "resnet34",
+        "encoder_weights": None,
+        "in_channels": cfg.MODEL_INPUT_CHANNELS,
+        "classes": 2,
+    }
+    bundle = create_model_on_device(0, struc)
+    ckpt = tmp_path / "dlv3p.pytorch"
+    save_checkpoint(ckpt, bundle.variables, struc, label_codes={})
+
+    # Pretend the auto-heuristic picked the big batch (the CPU test backend
+    # reports no memory stats, which yields SMALL_BATCH otherwise).
+    import volume_segmantics_tpu.utils.base_data_utils as utils
+
+    monkeypatch.delattr(prediction_settings, "prediction_batch_size",
+                        raising=False)
+    monkeypatch.setattr(utils, "_device_hbm_gb", lambda: 16.0)
+    p = VolSeg2dPredictor(ckpt, prediction_settings)
+    assert p.batch_size == cfg.PRED_BATCH_CAPS["DEEPLABV3_PLUS"]
+
+    # Explicit user override wins over the cap.
+    prediction_settings.prediction_batch_size = 48
+    p2 = VolSeg2dPredictor(ckpt, prediction_settings)
+    assert p2.batch_size == 48

@@ -93,6 +93,19 @@ class VolSeg2dPredictor:
         )
         self.bundle, self.num_labels, self.label_codes = model_tuple
         self.batch_size = utils.get_batch_size(settings, prediction=True)
+        # First-contact per-arch batch cap (cfg.PRED_BATCH_CAPS): avoids a
+        # compile-fail-retrace backoff loop for VMEM-heavy decoders. An
+        # explicit settings override wins — the user asked for that batch.
+        if not getattr(settings, "prediction_batch_size", None):
+            mtype = self.bundle.model_struc_dict.get("type")
+            mname = mtype if isinstance(mtype, str) else getattr(mtype, "name", "")
+            cap = cfg.PRED_BATCH_CAPS.get(str(mname).upper())
+            if cap and self.batch_size > cap:
+                logging.info(
+                    f"Capping prediction batch at {cap} for {mname} "
+                    f"(VMEM preset; was {self.batch_size})."
+                )
+                self.batch_size = cap
         from collections import OrderedDict
 
         self._sweep_cache = OrderedDict()

@@ -52,6 +52,19 @@ BIG_TRAIN_BATCH = 12
 # 256³ 12-way TTA: batch 32 -> 1.63 s, 64 -> 1.2 s, 128 -> 0.92 s, 256 no
 # further gain; 512³ runs at batch 128 without memory pressure.
 BIG_PRED_BATCH = 128
+# Per-architecture first-contact prediction batch caps (keys: ModelType
+# names). VMEM-heavy decoders exceed a v5e's scoped memory at
+# BIG_PRED_BATCH on large slice shapes; compiling-failing-halving (the
+# predictor's backoff) costs a full retrace per halving, so start such
+# archs at a batch known to compile first-try. The backoff remains as the
+# safety net for unusually large slices/encoders, and an explicit
+# `prediction_batch_size` in settings bypasses the cap entirely.
+# (TPU-native analog of the reference's free-CUDA-memory heuristic,
+# reference utilities/base_data_utils.py:104-122.)
+PRED_BATCH_CAPS = {
+    "DEEPLABV3": 64,
+    "DEEPLABV3_PLUS": 32,
+}
 SMALL_BATCH = 2
 IM_SIZE_DIVISOR = 32  # Image dims must be a multiple of this (model strides)
 MODEL_INPUT_CHANNELS = 1  # Grayscale input images
