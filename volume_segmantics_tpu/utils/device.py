@@ -54,6 +54,16 @@ def configure_platform():
     platform = os.environ.get("VOLSEG_TPU_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Persistent-cache policy: always on for TPU (where compiles cost
+    # 20-40 s), but on CPU only by explicit opt-in via
+    # JAX_COMPILATION_CACHE_DIR. XLA:CPU caches AOT-compiled machine code
+    # and logs loud machine-feature warnings on EVERY load (its compile-side
+    # feature list carries pseudo-features like +prefer-no-scatter that
+    # host detection never reports), so an always-on CPU cache makes every
+    # cached run look broken even on one machine.
+    explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not explicit and platform == "cpu":
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
