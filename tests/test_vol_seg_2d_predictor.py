@@ -179,3 +179,54 @@ def test_per_arch_prediction_batch_cap(tmp_path, prediction_settings,
     prediction_settings.prediction_batch_size = 48
     p2 = VolSeg2dPredictor(ckpt, prediction_settings)
     assert p2.batch_size == 48
+
+
+@pytest.mark.slow
+class TestTwelveWayDedup:
+    """The deduplicated 8-sweep 12-way paths must be BIT-identical to the
+    straightforward 4x3-rotation computation (the reference's semantics,
+    kept as *_via_rotations): max-prob merging with strict-> ties and
+    weighted one-hot voting."""
+
+    @pytest.fixture()
+    def vol(self):
+        rng = np.random.default_rng(11)
+        return rng.integers(0, 255, (10, 18, 14)).astype(np.uint8)
+
+    def test_max_probs_equal(self, predictor, vol):
+        lab_new, prob_new = predictor._predict_12_ways_max_probs(vol)
+        lab_old, prob_old = predictor._predict_12_ways_max_probs_via_rotations(
+            vol
+        )
+        assert np.array_equal(lab_new, lab_old)
+        assert np.array_equal(prob_new, prob_old)
+
+    def test_max_probs_equal_no_probs(self, predictor, vol):
+        lab_new, p = predictor._predict_12_ways_max_probs(
+            vol, output_probs=False
+        )
+        assert p is None
+        lab_old, _ = predictor._predict_12_ways_max_probs_via_rotations(
+            vol, output_probs=False
+        )
+        assert np.array_equal(lab_new, lab_old)
+
+    def test_one_hot_equal(self, predictor, vol):
+        votes_new = predictor._predict_12_ways_one_hot(vol)
+        votes_old = predictor._predict_12_ways_one_hot_via_rotations(vol)
+        assert np.array_equal(votes_new, votes_old)
+        assert votes_new.sum(axis=0).min() == 12
+
+    def test_slab_pipelined_path_equal(self, predictor, vol, monkeypatch):
+        """Force the slab-pipelined upload on a tiny volume and pin
+        equality with the single-upload path."""
+        monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1)
+        monkeypatch.setattr(type(predictor), "OVERLAP_SLABS", 4)
+        lab_slab, prob_slab = predictor._predict_12_ways_max_probs(vol)
+        votes_slab = predictor._predict_12_ways_one_hot(vol)
+        monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1 << 60)
+        lab_one, prob_one = predictor._predict_12_ways_max_probs(vol)
+        votes_one = predictor._predict_12_ways_one_hot(vol)
+        assert np.array_equal(lab_slab, lab_one)
+        assert np.array_equal(prob_slab, prob_one)
+        assert np.array_equal(votes_slab, votes_one)

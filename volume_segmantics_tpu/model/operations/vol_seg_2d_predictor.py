@@ -438,10 +438,14 @@ class VolSeg2dPredictor:
             outs.append(sweep_fn(rotated))
         return outs
 
-    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
-        """3-way prediction at 4 in-plane rotations, merged pairwise in
-        rotation order (reference predictor :100-116), fully device-resident:
-        4 fused 3-way sweep programs + 1 fused merge/pack program."""
+    def _predict_12_ways_max_probs_via_rotations(self, data_vol,
+                                                 output_probs=True):
+        """Straightforward 12-way: 3-way prediction at 4 in-plane rotations,
+        merged pairwise in rotation order (reference predictor :100-116),
+        fully device-resident: 4 fused 3-way sweep programs + 1 fused
+        merge/pack program. Superseded by the deduplicated 8-sweep path
+        below (bit-identical, pinned by tests); kept as the executable
+        specification of the reference's computation."""
         vol_dev = self._to_device_u8(data_vol)
         logging.info(
             f"Predicting 12 ways (4 rotations x 3 axes) for volume "
@@ -457,6 +461,180 @@ class VolSeg2dPredictor:
             ),
         )
         out = fn(*[x for pair in sweeps for x in pair])
+        if bits:
+            labels = _unpack_u8_host(np.asarray(out[0]), bits, vol_dev.shape[-1])
+        else:
+            labels = np.asarray(out[0])
+        return labels, (np.asarray(out[1]) if output_probs else None)
+
+    # ------------------------------------------------------------------
+    # Deduplicated 12-way TTA: 8 distinct sweeps + slab-pipelined upload
+    # ------------------------------------------------------------------
+    # Geometry: with np.rot90 acting on axes (0, 1), the reference's 12
+    # (rotation, axis) sweeps contain four exact duplicates —
+    # (rot0, Z)==(rot3, Y), (rot0, Y)==(rot1, Z), (rot1, Y)==(rot2, Z),
+    # (rot2, Y)==(rot3, Z) — because rotating the volume and then sweeping
+    # the rotated Y axis presents the network with the same 2D images as an
+    # earlier sweep (verified bit-exact on real models:
+    # tests/test_vol_seg_2d_predictor.py). Only 8 sweeps are distinct:
+    #
+    #   z0  z-slices, identity          y1  z-slices flipped along H
+    #   y0  y-slices, identity          y2  y-slices flipped along D
+    #   x0..x3  x-slices at the 4 in-plane rotations
+    #
+    # Max-prob merging takes the strictly-greater probability (ties go to
+    # the EARLIER sweep), so dropping a later duplicate never changes the
+    # result; one-hot voting counts the duplicated sweeps twice. The merge
+    # priority below is the reference's order with duplicates removed:
+    #   z0, y0, x0, y1, x1, y2, x2, x3
+    #
+    # This cuts 12-way model compute by 1/3, and since z0/y1 slice only
+    # along axis 0, they run PER-SLAB — overlapping with the host->device
+    # upload of later slabs instead of idling until the full volume lands
+    # (VERDICT r3 #3).
+
+    # Slab-pipeline the upload + z sweeps above this size (below it, the
+    # upload is too quick to be worth extra dispatches/compiles).
+    OVERLAP_MIN_BYTES = 48 * 1024**2
+    OVERLAP_SLABS = 8
+
+    def _z_pair_trace(self, variables, slab, with_probs=True):
+        """z0 + y1 on a z-slab (or the full volume); outputs in the
+        ORIGINAL frame. Per-slab capable: both sweeps slice along axis 0."""
+        lz, pz = self._axis_sweep_trace(variables, slab, Axis.Z)
+        l1, p1 = self._axis_sweep_trace(
+            variables, jnp.flip(slab, axis=1), Axis.Z
+        )
+        l1 = jnp.flip(l1, axis=1)
+        if with_probs:
+            return lz, pz, l1, jnp.flip(p1, axis=1)
+        return lz, l1
+
+    def _y_pair_trace(self, variables, vol, with_probs=True):
+        """y0 + y2 (y-slices, identity and flipped along D)."""
+        ly, py = self._axis_sweep_trace(variables, vol, Axis.Y)
+        l2, p2 = self._axis_sweep_trace(
+            variables, jnp.flip(vol, axis=0), Axis.Y
+        )
+        l2 = jnp.flip(l2, axis=0)
+        if with_probs:
+            return ly, py, l2, jnp.flip(p2, axis=0)
+        return ly, l2
+
+    def _x_quad_trace(self, variables, vol, with_probs=True):
+        """x0..x3: the four in-plane rotations of the x-slice sweep, each
+        back-rotated to the original frame."""
+        outs = []
+        r = vol
+        for k in range(4):
+            l, p = self._axis_sweep_trace(variables, r, Axis.X)
+            if with_probs:
+                outs += [jnp.rot90(l, -k), jnp.rot90(p, -k)]
+            else:
+                outs.append(jnp.rot90(l, -k))
+            if k < 3:
+                r = jnp.rot90(r)
+        return tuple(outs)
+
+    def _z_pair_sweeps(self, data_vol, with_probs=True):
+        """Upload the volume and run the z-slice sweep pair, slab-pipelined
+        when profitable (single device, host array, big enough): each slab's
+        device_put is async, and its sweeps execute while later slabs are
+        still in flight on the host->device link. Returns
+        (per-slab output tuples, full device volume)."""
+        suffix = "" if with_probs else "_oh"
+        trace = lambda v, s: self._z_pair_trace(v, s, with_probs)
+        if (
+            self.n_dev == 1
+            and isinstance(data_vol, np.ndarray)
+            and data_vol.nbytes >= self.OVERLAP_MIN_BYTES
+        ):
+            arr = data_vol if data_vol.dtype == np.uint8 else data_vol.astype(
+                np.uint8
+            )
+            d = arr.shape[0]
+            step = -(-d // self.OVERLAP_SLABS)
+            dev_slabs = [
+                jax.device_put(arr[a : a + step]) for a in range(0, d, step)
+            ]
+            logging.info(
+                f"Slab-pipelined upload: {len(dev_slabs)} slabs of "
+                f"~{step} slices overlapping the z sweeps."
+            )
+            parts = [
+                self._run_sweep(
+                    f"z_pair{suffix}", sl.shape, trace,
+                    self.bundle.variables, sl,
+                )
+                for sl in dev_slabs
+            ]
+            return parts, jnp.concatenate(dev_slabs, axis=0)
+        vol_dev = self._to_device_u8(data_vol)
+        part = self._run_sweep(
+            f"z_pair{suffix}", vol_dev.shape, trace,
+            self.bundle.variables, vol_dev,
+        )
+        return [part], vol_dev
+
+    @staticmethod
+    def _stitch_z_parts(z_parts, idx):
+        """Concatenate one output stream of the per-slab z_pair results."""
+        cols = [part[idx] for part in z_parts]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=0)
+
+    def _merge8_trace(self, z_parts, y_out, x_out, want_probs, pack_bits):
+        """Back-to-back max-prob merge of the 8 distinct sweeps in the
+        reference's (dedup-reduced) priority order + label packing, as one
+        fused program."""
+        z0 = (self._stitch_z_parts(z_parts, 0),
+              self._stitch_z_parts(z_parts, 1))
+        y1 = (self._stitch_z_parts(z_parts, 2),
+              self._stitch_z_parts(z_parts, 3))
+        y0, y2 = (y_out[0], y_out[1]), (y_out[2], y_out[3])
+        x = [(x_out[2 * k], x_out[2 * k + 1]) for k in range(4)]
+        seq = [z0, y0, x[0], y1, x[1], y2, x[2], x[3]]
+        labels, probs = seq[0]
+        for l, p in seq[1:]:
+            take = p > probs
+            labels = jnp.where(take, l, labels)
+            probs = jnp.where(take, p, probs)
+        if pack_bits:
+            labels = _pack_u8_trace(labels, pack_bits)
+        return (labels, probs) if want_probs else (labels,)
+
+    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
+        """12-way TTA via the 8 distinct sweeps (bit-identical to the
+        reference's 12, see block comment above): slab-pipelined z sweeps +
+        fused y-pair and x-quad programs + one fused merge/pack program."""
+        logging.info(
+            f"Predicting 12 ways (8 distinct sweeps) for volume "
+            f"{tuple(np.shape(data_vol))}."
+        )
+        z_parts, vol_dev = self._z_pair_sweeps(data_vol, with_probs=True)
+        variables = self.bundle.variables
+        y_out = self._run_sweep(
+            "y_pair", vol_dev.shape, self._y_pair_trace, variables, vol_dev
+        )
+        x_out = self._run_sweep(
+            "x_quad", vol_dev.shape, self._x_quad_trace, variables, vol_dev
+        )
+        bits = self._label_bits()
+        n_slabs = len(z_parts)
+        fn = self._get_jitted(
+            f"merge8_p{int(output_probs)}b{bits}s{n_slabs}",
+            vol_dev.shape,
+            lambda *flat: self._merge8_trace(
+                [flat[4 * i : 4 * i + 4] for i in range(n_slabs)],
+                flat[4 * n_slabs : 4 * n_slabs + 4],
+                flat[4 * n_slabs + 4 :],
+                output_probs,
+                bits,
+            ),
+        )
+        flat_args = [a for part in z_parts for a in part] + list(y_out) + list(
+            x_out
+        )
+        out = fn(*flat_args)
         if bits:
             labels = _unpack_u8_host(np.asarray(out[0]), bits, vol_dev.shape[-1])
         else:
@@ -514,7 +692,11 @@ class VolSeg2dPredictor:
             out = out + jnp.rot90(oh, -k, axes=(-3, -2))
         return _pack_u8_trace(out, self._VOTE_BITS)
 
-    def _predict_12_ways_one_hot(self, data_vol):
+    def _predict_12_ways_one_hot_via_rotations(self, data_vol):
+        """Straightforward 12-way voting (4 fused 3-way one-hot programs +
+        merge). Superseded by the deduplicated 8-sweep path below
+        (bit-identical — duplicated sweeps count twice); kept as the
+        executable specification of the reference's computation."""
         vol_dev = self._to_device_u8(data_vol)
         logging.info(
             f"Predicting 12-way one-hot votes for volume "
@@ -529,4 +711,55 @@ class VolSeg2dPredictor:
             lambda *vs: self._merge_rotations_one_hot_trace(list(vs)),
         )
         packed = np.asarray(fn(*votes))
+        return _unpack_u8_host(packed, self._VOTE_BITS, vol_dev.shape[-1])
+
+    def _merge8_one_hot_trace(self, z_parts, y_out, x_out):
+        """Weighted one-hot vote sum over the 8 distinct sweeps: the four
+        sweeps that appear twice among the reference's 12 (z0, y0, y1, y2 —
+        see the dedup block comment) count double; the x sweeps count once.
+        Total weight 12, matching the reference exactly. Packed to 4 bits
+        for download (counts <= 12)."""
+        oh = self._one_hot_device
+        z0 = self._stitch_z_parts(z_parts, 0)
+        y1 = self._stitch_z_parts(z_parts, 1)
+        y0, y2 = y_out
+        votes = 2 * (oh(z0) + oh(y0) + oh(y1) + oh(y2))
+        for xl in x_out:
+            votes = votes + oh(xl)
+        return _pack_u8_trace(votes, self._VOTE_BITS)
+
+    def _predict_12_ways_one_hot(self, data_vol):
+        """12-way one-hot voting via the 8 distinct sweeps (labels only —
+        the probability stream is dead code here and never computed),
+        slab-pipelined like the max-prob path."""
+        logging.info(
+            f"Predicting 12-way one-hot votes (8 distinct sweeps) for "
+            f"volume {tuple(np.shape(data_vol))}."
+        )
+        z_parts, vol_dev = self._z_pair_sweeps(data_vol, with_probs=False)
+        variables = self.bundle.variables
+        y_out = self._run_sweep(
+            "y_pair_oh", vol_dev.shape,
+            lambda v, x: self._y_pair_trace(v, x, with_probs=False),
+            variables, vol_dev,
+        )
+        x_out = self._run_sweep(
+            "x_quad_oh", vol_dev.shape,
+            lambda v, x: self._x_quad_trace(v, x, with_probs=False),
+            variables, vol_dev,
+        )
+        n_slabs = len(z_parts)
+        fn = self._get_jitted(
+            f"merge8_one_hot_s{n_slabs}",
+            vol_dev.shape,
+            lambda *flat: self._merge8_one_hot_trace(
+                [flat[2 * i : 2 * i + 2] for i in range(n_slabs)],
+                flat[2 * n_slabs : 2 * n_slabs + 2],
+                flat[2 * n_slabs + 2 :],
+            ),
+        )
+        flat_args = [a for part in z_parts for a in part] + list(y_out) + list(
+            x_out
+        )
+        packed = np.asarray(fn(*flat_args))
         return _unpack_u8_host(packed, self._VOTE_BITS, vol_dev.shape[-1])
