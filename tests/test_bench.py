@@ -1,0 +1,70 @@
+"""bench.py robustness contract (VERDICT r3 #1): the driver benchmark must
+ALWAYS print exactly one parseable JSON line and exit 0, even when the
+backend never initialises (the r3 failure mode: a TPU plugin hang/error at
+capture time erased the round's perf evidence)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _poisoned_env():
+    """Environment whose JAX backend init fails fast in any subprocess."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "XLA_FLAGS": "--definitely_not_a_real_xla_flag",
+            "VOLSEG_BENCH_PROBE_ATTEMPTS": "1",
+            "VOLSEG_BENCH_PROBE_TIMEOUT": "60",
+            "VOLSEG_BENCH_PROBE_BACKOFF": "1",
+        }
+    )
+    return env
+
+
+def test_probe_backend_reports_failure():
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    old = {
+        k: os.environ.get(k)
+        for k in ("XLA_FLAGS", "VOLSEG_BENCH_PROBE_ATTEMPTS")
+    }
+    os.environ["XLA_FLAGS"] = "--definitely_not_a_real_xla_flag"
+    try:
+        platform, reason = bench.probe_backend(
+            attempts=1, probe_timeout=60, backoff=1
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert platform is None
+    assert reason
+
+
+def test_bench_emits_json_error_line_and_exits_zero():
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=_poisoned_env(),
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "unet_resnet34_12way_tta_predict_256cube_wallclock"
+    assert rec["value"] is None
+    assert "error" in rec and "backend-unavailable" in rec["error"]
+    assert isinstance(rec["extra"], dict)
