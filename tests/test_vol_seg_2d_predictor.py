@@ -230,3 +230,23 @@ class TestTwelveWayDedup:
         assert np.array_equal(lab_slab, lab_one)
         assert np.array_equal(prob_slab, prob_one)
         assert np.array_equal(votes_slab, votes_one)
+
+
+@pytest.mark.slow
+def test_3_way_slab_pipelined_equal(predictor, monkeypatch):
+    """Slab-pipelined MEDIUM quality (z per-slab + fused y/x/merge program)
+    must match the single fused three-way program bit-for-bit, for both
+    max-prob and one-hot outputs."""
+    rng = np.random.default_rng(21)
+    vol = rng.integers(0, 255, (10, 18, 14)).astype(np.uint8)
+    monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1)
+    monkeypatch.setattr(type(predictor), "OVERLAP_SLABS", 4)
+    lab_slab, prob_slab = predictor._predict_3_ways_max_probs(vol)
+    votes_slab = predictor._predict_3_ways_one_hot(vol)
+    monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1 << 60)
+    lab_one, prob_one = predictor._predict_3_ways_max_probs(vol)
+    votes_one = predictor._predict_3_ways_one_hot(vol)
+    assert np.array_equal(lab_slab, lab_one)
+    assert np.array_equal(prob_slab, prob_one)
+    assert np.array_equal(votes_slab, votes_one)
+    assert votes_slab.sum(axis=0).min() == 3

@@ -399,7 +399,51 @@ class VolSeg2dPredictor:
             self.bundle.variables, vol_dev,
         )
 
+    def _yx_merge3_trace(self, variables, vol, z_parts, want_probs, pack_bits):
+        """y + x sweeps fused with the 3-way merge (z first, then y, then x
+        — reference predictor :67-88 order) and label packing, taking the
+        already-computed per-slab z results as inputs. Keeping the merge in
+        the same program as the y/x sweeps avoids standalone merge
+        dispatches (each costs an HBM relayout of the 3-D outputs)."""
+        labels = self._stitch_z_parts(z_parts, 0)
+        probs = self._stitch_z_parts(z_parts, 1)
+        for axis in (Axis.Y, Axis.X):
+            l1, p1 = self._axis_sweep_trace(variables, vol, axis)
+            take1 = p1 > probs
+            labels = jnp.where(take1, l1, labels)
+            probs = jnp.where(take1, p1, probs)
+        if pack_bits:
+            labels = _pack_u8_trace(labels, pack_bits)
+        return (labels, probs) if want_probs else (labels,)
+
     def _predict_3_ways_max_probs(self, data_vol, output_probs=True):
+        bits = self._label_bits()
+        if self._overlap_eligible(data_vol):
+            # Slab-pipelined: the z sweep executes per-slab while later
+            # slabs are still uploading; y/x sweeps + merge follow as one
+            # fused program once the whole volume is resident.
+            z_parts, vol_dev = self._z_sweeps_slabbed(data_vol)
+            n_slabs = len(z_parts)
+            fn = self._get_jitted(
+                f"yx_merge3_p{int(output_probs)}b{bits}s{n_slabs}",
+                vol_dev.shape,
+                lambda variables, v, *flat: self._yx_merge3_trace(
+                    variables, v,
+                    [flat[2 * i : 2 * i + 2] for i in range(n_slabs)],
+                    output_probs, bits,
+                ),
+            )
+            out = fn(
+                self.bundle.variables, vol_dev,
+                *[a for part in z_parts for a in part],
+            )
+            if bits:
+                labels = _unpack_u8_host(
+                    np.asarray(out[0]), bits, vol_dev.shape[-1]
+                )
+            else:
+                labels = np.asarray(out[0])
+            return labels, (np.asarray(out[1]) if output_probs else None)
         labels, probs = self._predict_3_ways_device(self._to_device_u8(data_vol))
         # Max-probs are needed on device for merging, but the host transfer
         # (float16, 2x the label bytes) is skipped when the caller won't
@@ -536,6 +580,54 @@ class VolSeg2dPredictor:
                 r = jnp.rot90(r)
         return tuple(outs)
 
+    def _overlap_eligible(self, data_vol) -> bool:
+        """Slab-pipelined upload pays when: one device (sharded uploads
+        already pipeline via make_array_from_callback), a host array (device
+        arrays are already resident), and a volume big enough that the
+        upload dominates the extra dispatches."""
+        return (
+            self.n_dev == 1
+            and isinstance(data_vol, np.ndarray)
+            and data_vol.nbytes >= self.OVERLAP_MIN_BYTES
+        )
+
+    def _upload_slabs(self, data_vol):
+        """Async per-slab device_put of a host volume along axis 0."""
+        arr = (
+            data_vol
+            if data_vol.dtype == np.uint8
+            else data_vol.astype(np.uint8)
+        )
+        step = -(-arr.shape[0] // self.OVERLAP_SLABS)
+        dev_slabs = [
+            jax.device_put(arr[a : a + step])
+            for a in range(0, arr.shape[0], step)
+        ]
+        logging.info(
+            f"Slab-pipelined upload: {len(dev_slabs)} slabs of ~{step} "
+            "slices overlapping the z sweeps."
+        )
+        return dev_slabs
+
+    def _z_sweeps_slabbed(self, data_vol, with_probs=True):
+        """Plain z sweep per uploaded slab (outputs in the original frame);
+        caller has already checked _overlap_eligible. Returns
+        (per-slab output tuples, full device volume)."""
+        suffix = "" if with_probs else "_oh"
+
+        def trace(v, s):
+            l, p = self._axis_sweep_trace(v, s, Axis.Z)
+            return (l, p) if with_probs else (l,)
+
+        dev_slabs = self._upload_slabs(data_vol)
+        parts = [
+            self._run_sweep(
+                f"z_sweep{suffix}", sl.shape, trace, self.bundle.variables, sl
+            )
+            for sl in dev_slabs
+        ]
+        return parts, jnp.concatenate(dev_slabs, axis=0)
+
     def _z_pair_sweeps(self, data_vol, with_probs=True):
         """Upload the volume and run the z-slice sweep pair, slab-pipelined
         when profitable (single device, host array, big enough): each slab's
@@ -544,23 +636,8 @@ class VolSeg2dPredictor:
         (per-slab output tuples, full device volume)."""
         suffix = "" if with_probs else "_oh"
         trace = lambda v, s: self._z_pair_trace(v, s, with_probs)
-        if (
-            self.n_dev == 1
-            and isinstance(data_vol, np.ndarray)
-            and data_vol.nbytes >= self.OVERLAP_MIN_BYTES
-        ):
-            arr = data_vol if data_vol.dtype == np.uint8 else data_vol.astype(
-                np.uint8
-            )
-            d = arr.shape[0]
-            step = -(-d // self.OVERLAP_SLABS)
-            dev_slabs = [
-                jax.device_put(arr[a : a + step]) for a in range(0, d, step)
-            ]
-            logging.info(
-                f"Slab-pipelined upload: {len(dev_slabs)} slabs of "
-                f"~{step} slices overlapping the z sweeps."
-            )
+        if self._overlap_eligible(data_vol):
+            dev_slabs = self._upload_slabs(data_vol)
             parts = [
                 self._run_sweep(
                     f"z_pair{suffix}", sl.shape, trace,
@@ -678,7 +755,33 @@ class VolSeg2dPredictor:
     # always applies to one-hot downloads.
     _VOTE_BITS = 4
 
+    def _yx_merge3_one_hot_trace(self, variables, vol, z_parts):
+        """y + x sweeps fused with the 3-way one-hot vote sum + packing,
+        taking the per-slab z labels as inputs."""
+        votes = self._one_hot_device(self._stitch_z_parts(z_parts, 0))
+        for axis in (Axis.Y, Axis.X):
+            labels, _ = self._axis_sweep_trace(variables, vol, axis)
+            votes = votes + self._one_hot_device(labels)
+        return _pack_u8_trace(votes, self._VOTE_BITS)
+
     def _predict_3_ways_one_hot(self, data_vol):
+        if self._overlap_eligible(data_vol):
+            z_parts, vol_dev = self._z_sweeps_slabbed(data_vol, with_probs=False)
+            n_slabs = len(z_parts)
+            fn = self._get_jitted(
+                f"yx_merge3_oh_s{n_slabs}",
+                vol_dev.shape,
+                lambda variables, v, *flat: self._yx_merge3_one_hot_trace(
+                    variables, v, [flat[i : i + 1] for i in range(n_slabs)]
+                ),
+            )
+            packed = np.asarray(
+                fn(
+                    self.bundle.variables, vol_dev,
+                    *[a for part in z_parts for a in part],
+                )
+            )
+            return _unpack_u8_host(packed, self._VOTE_BITS, vol_dev.shape[-1])
         return self._fetch_packed(
             self._predict_3_ways_one_hot_device(self._to_device_u8(data_vol)),
             self._VOTE_BITS,
