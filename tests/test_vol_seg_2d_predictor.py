@@ -250,3 +250,18 @@ def test_3_way_slab_pipelined_equal(predictor, monkeypatch):
     assert np.array_equal(prob_slab, prob_one)
     assert np.array_equal(votes_slab, votes_one)
     assert votes_slab.sum(axis=0).min() == 3
+
+
+@pytest.mark.slow
+def test_single_axis_slab_pipelined_equal(predictor, monkeypatch):
+    """Slab-pipelined LOW quality (per-slab sweep + download) matches the
+    single-upload path bit-for-bit; non-Z axes fall through unchanged."""
+    rng = np.random.default_rng(31)
+    vol = rng.integers(0, 255, (10, 18, 14)).astype(np.uint8)
+    monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1)
+    monkeypatch.setattr(type(predictor), "OVERLAP_SLABS", 4)
+    lab_slab, prob_slab = predictor._predict_single_axis(vol)
+    monkeypatch.setattr(type(predictor), "OVERLAP_MIN_BYTES", 1 << 60)
+    lab_one, prob_one = predictor._predict_single_axis(vol)
+    assert np.array_equal(lab_slab, lab_one)
+    assert np.array_equal(prob_slab, prob_one)

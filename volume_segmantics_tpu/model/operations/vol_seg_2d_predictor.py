@@ -302,6 +302,26 @@ class VolSeg2dPredictor:
         """Predict every slice along `axis`. Returns (labels uint8,
         max_probs float16) numpy volumes; probs is None when output_probs is
         False."""
+        if axis == Axis.Z and self._overlap_eligible(data_vol):
+            # Slab-pipelined LOW quality: upload, sweep AND download each
+            # slab while later slabs are still on the host link. No
+            # assembled device copy is needed for a single-axis sweep.
+            logging.info(
+                f"Predicting segmentation for volume of shape "
+                f"{tuple(data_vol.shape)} (slab-pipelined)."
+            )
+            parts, _ = self._z_sweeps_slabbed(
+                data_vol, with_probs=True, want_volume=False
+            )
+            labels = np.concatenate(
+                [self._fetch_labels(l) for l, _ in parts], axis=0
+            )
+            probs = (
+                np.concatenate([np.asarray(p) for _, p in parts], axis=0)
+                if output_probs
+                else None
+            )
+            return labels, probs
         vol_dev = self._to_device_u8(data_vol)
         s = list(data_vol.shape)
         if axis != Axis.Z:
@@ -609,10 +629,12 @@ class VolSeg2dPredictor:
         )
         return dev_slabs
 
-    def _z_sweeps_slabbed(self, data_vol, with_probs=True):
+    def _z_sweeps_slabbed(self, data_vol, with_probs=True, want_volume=True):
         """Plain z sweep per uploaded slab (outputs in the original frame);
         caller has already checked _overlap_eligible. Returns
-        (per-slab output tuples, full device volume)."""
+        (per-slab output tuples, full device volume) — the device volume is
+        None when `want_volume` is False (single-axis prediction needs no
+        assembled copy)."""
         suffix = "" if with_probs else "_oh"
 
         def trace(v, s):
@@ -626,7 +648,8 @@ class VolSeg2dPredictor:
             )
             for sl in dev_slabs
         ]
-        return parts, jnp.concatenate(dev_slabs, axis=0)
+        vol_dev = jnp.concatenate(dev_slabs, axis=0) if want_volume else None
+        return parts, vol_dev
 
     def _z_pair_sweeps(self, data_vol, with_probs=True):
         """Upload the volume and run the z-slice sweep pair, slab-pipelined
