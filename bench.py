@@ -92,7 +92,8 @@ try:
 except Exception:
     pass
 ds = jax.devices()
-print("OK", ds[0].platform, getattr(ds[0], "device_kind", "?"), len(ds))
+# device_kind may contain spaces ("TPU v5 lite") -> print it LAST.
+print("OK", ds[0].platform, len(ds), getattr(ds[0], "device_kind", "?"))
 """
 
 
@@ -119,7 +120,7 @@ def probe_backend(attempts=None, probe_timeout=None, backoff=None):
             out = r.stdout.strip().splitlines()
             ok = [ln for ln in out if ln.startswith("OK ")]
             if r.returncode == 0 and ok:
-                _, platform, kind, n = ok[0].split(" ", 3)
+                _, platform, n, kind = ok[0].split(" ", 3)
                 print(
                     f"# backend probe ok in {time.time() - t0:.0f}s: "
                     f"{platform} {kind} x{n}",
@@ -131,12 +132,19 @@ def probe_backend(attempts=None, probe_timeout=None, backoff=None):
             reason = f"probe timed out after {probe_timeout}s"
         except Exception as e:  # pragma: no cover
             reason = f"probe error: {e}"
-        print(
-            f"# backend probe attempt {i + 1}/{attempts} failed ({reason}); "
-            f"retrying in {backoff}s",
-            file=sys.stderr,
-        )
-        time.sleep(backoff)
+        if i + 1 < attempts:
+            print(
+                f"# backend probe attempt {i + 1}/{attempts} failed "
+                f"({reason}); retrying in {backoff}s",
+                file=sys.stderr,
+            )
+            time.sleep(backoff)
+        else:
+            print(
+                f"# backend probe attempt {i + 1}/{attempts} failed "
+                f"({reason}); giving up",
+                file=sys.stderr,
+            )
     return None, reason
 
 
@@ -315,29 +323,38 @@ def run_bench(extra):
     # and the LR finder adapts the learning rate to the batch empirically;
     # batch 12 (the reference's GPU-era constant) is kept as the parity
     # default and reported alongside.
+    # Every train stage is guarded individually: losing a throughput number
+    # must never abort the run before the headline predict measurement.
     print("# measuring train step throughput...", file=sys.stderr)
     peak = _peak_flops(device_kind) if platform == "tpu" else None
-    sps32, flops_per_slice = measure_train_slices_per_sec(batch=32)
-    extra["train_slices_per_sec_chip"] = round(sps32, 1)
-    if flops_per_slice:
-        extra["model_gflops_per_slice_fwdbwd"] = round(flops_per_slice / 1e9, 2)
-        if peak:
-            extra["train_mfu_pct"] = round(
-                100.0 * sps32 * flops_per_slice / peak, 2
+    flops_per_slice = None
+    for key, mfu_key, batch, steps in (
+        ("train_slices_per_sec_chip", "train_mfu_pct", 32, 30),
+        ("train_slices_per_sec_chip_b12", None, 12, 30),
+        ("train_slices_per_sec_chip_b128", "train_mfu_pct_b128", 128, 12),
+    ):
+        try:
+            sps, fps = measure_train_slices_per_sec(batch=batch, steps=steps)
+            extra[key] = round(sps, 1)
+            flops_per_slice = flops_per_slice or fps
+            if flops_per_slice:
+                extra.setdefault(
+                    "model_gflops_per_slice_fwdbwd",
+                    round(flops_per_slice / 1e9, 2),
+                )
+                if peak and mfu_key:
+                    extra[mfu_key] = round(
+                        100.0 * sps * flops_per_slice / peak, 2
+                    )
+            print(
+                f"# train slices/s (b{batch}): {sps:.1f}"
+                + (f" (mfu={extra[mfu_key]}%)"
+                   if mfu_key and mfu_key in extra else ""),
+                file=sys.stderr,
             )
-    print(f"# train slices/s (b32): {sps32:.1f} "
-          f"(mfu={extra.get('train_mfu_pct')}%)", file=sys.stderr)
-    sps12, _ = measure_train_slices_per_sec(batch=12)
-    extra["train_slices_per_sec_chip_b12"] = round(sps12, 1)
-    print(f"# train slices/s (b12): {sps12:.1f}", file=sys.stderr)
-    sps128, _ = measure_train_slices_per_sec(batch=128, steps=12)
-    extra["train_slices_per_sec_chip_b128"] = round(sps128, 1)
-    if flops_per_slice and peak:
-        extra["train_mfu_pct_b128"] = round(
-            100.0 * sps128 * flops_per_slice / peak, 2
-        )
-    print(f"# train slices/s (b128): {sps128:.1f} "
-          f"(mfu={extra.get('train_mfu_pct_b128')}%)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - protect the headline
+            print(f"# train stage b{batch} failed: {e}", file=sys.stderr)
+            extra[key] = None
 
     # --- Predict wall-clocks ------------------------------------------------
     struc = {

@@ -19,6 +19,13 @@ def _run(args, cwd):
     env = dict(os.environ)
     env["VOLSEG_TPU_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = str(REPO)
+    # Explicit opt-in: the persistent compile cache is off for CPU by
+    # default (see utils/device.py), but these subprocesses recompile the
+    # whole train/predict program set every run without it.
+    from volume_segmantics_tpu.utils.device import compilation_cache_dir
+
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.dirname(compilation_cache_dir()))
     return subprocess.run(
         [sys.executable, "-m", *args], cwd=cwd, env=env,
         capture_output=True, text=True, timeout=900,

@@ -575,3 +575,17 @@ def test_lazy_fused_upload_is_sharded_on_mesh(model_path, prediction_settings):
     assert calls, "expected the fused path under the mesh-scaled lazy budget"
     np.testing.assert_array_equal(np.asarray(result), np.asarray(baseline))
     prediction_settings.clip_data = True
+
+
+@pytest.mark.slow
+def test_memmap_results_survive_later_predictions(predictor, tmp_path):
+    """Accumulator memmaps must never reuse a filename: mode='w+' truncates
+    the inode backing views already returned to the caller. Regression for
+    a collision between predict_single_axis and a later predict_12_ways on
+    the same instance."""
+    vol = np.random.default_rng(5).integers(0, 255, (8, 14, 10)).astype(np.uint8)
+    large = VolSegLargeVolPredictor(predictor, workdir=tmp_path, slab_size=4)
+    lab_low, _ = large.predict_single_axis(vol, output_probs=False)
+    snapshot = np.asarray(lab_low).copy()
+    large.predict_12_ways(vol)
+    assert np.array_equal(np.asarray(lab_low), snapshot)

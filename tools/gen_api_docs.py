@@ -66,12 +66,26 @@ def _document_class(cls, lines):
                 t = getattr(f.type, "__name__", str(f.type))
                 lines.append(f"- `{f.name}: {t}`")
             lines.append("")
+    def _documented_here(name):
+        """Own methods, plus public methods inherited from PRIVATE package
+        bases (e.g. dataclasses sharing a _Base.from_mapping): those have
+        no public home of their own, so they are documented on each public
+        subclass."""
+        if name in cls.__dict__:
+            return True
+        for c in cls.__mro__[1:]:
+            if name in c.__dict__:
+                return c.__name__.startswith("_") and c.__module__.startswith(
+                    pkg.__name__
+                )
+        return False
+
     methods = [
         (n, m)
         for n, m in inspect.getmembers(cls)
         if _is_public(n)
         and (inspect.isfunction(m) or inspect.ismethod(m))
-        and n in cls.__dict__
+        and _documented_here(n)
     ]
     for n, m in methods:
         lines.append(f"#### `{cls.__name__}.{n}{_signature(m)}`\n")

@@ -78,6 +78,10 @@ def main():
                     quality="low", prediction_axis="Z",
                 )
                 predictor = VolSeg2dPredictor(ckpt, settings)
+                # Disable the slab-pipelined upload: it would cap the
+                # effective batch at depth/OVERLAP_SLABS and this tool
+                # would report a batch that never actually compiled.
+                predictor.OVERLAP_MIN_BYTES = 1 << 60
                 vol = rng.integers(
                     0, 255, (batch, args.side, args.side)
                 ).astype(np.uint8)

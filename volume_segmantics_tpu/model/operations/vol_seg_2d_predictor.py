@@ -444,7 +444,10 @@ class VolSeg2dPredictor:
             # fused program once the whole volume is resident.
             z_parts, vol_dev = self._z_sweeps_slabbed(data_vol)
             n_slabs = len(z_parts)
-            fn = self._get_jitted(
+            # Via _run_sweep: this program contains two full-volume model
+            # sweeps, so it needs the same device-OOM batch backoff as the
+            # non-slab three_way program.
+            out = self._run_sweep(
                 f"yx_merge3_p{int(output_probs)}b{bits}s{n_slabs}",
                 vol_dev.shape,
                 lambda variables, v, *flat: self._yx_merge3_trace(
@@ -452,8 +455,6 @@ class VolSeg2dPredictor:
                     [flat[2 * i : 2 * i + 2] for i in range(n_slabs)],
                     output_probs, bits,
                 ),
-            )
-            out = fn(
                 self.bundle.variables, vol_dev,
                 *[a for part in z_parts for a in part],
             )
@@ -791,15 +792,13 @@ class VolSeg2dPredictor:
         if self._overlap_eligible(data_vol):
             z_parts, vol_dev = self._z_sweeps_slabbed(data_vol, with_probs=False)
             n_slabs = len(z_parts)
-            fn = self._get_jitted(
-                f"yx_merge3_oh_s{n_slabs}",
-                vol_dev.shape,
-                lambda variables, v, *flat: self._yx_merge3_one_hot_trace(
-                    variables, v, [flat[i : i + 1] for i in range(n_slabs)]
-                ),
-            )
             packed = np.asarray(
-                fn(
+                self._run_sweep(
+                    f"yx_merge3_oh_s{n_slabs}",
+                    vol_dev.shape,
+                    lambda variables, v, *flat: self._yx_merge3_one_hot_trace(
+                        variables, v, [flat[i : i + 1] for i in range(n_slabs)]
+                    ),
                     self.bundle.variables, vol_dev,
                     *[a for part in z_parts for a in part],
                 )

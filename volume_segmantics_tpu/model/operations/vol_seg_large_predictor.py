@@ -117,8 +117,16 @@ class VolSegLargeVolPredictor:
             )
 
     def _memmap(self, name, shape, dtype):
+        """Fresh accumulation memmap. Filenames carry a per-instance
+        sequence number so successive predictions on one predictor NEVER
+        reuse a path: mode='w+' truncates the inode, which would silently
+        corrupt label/prob views returned to callers by earlier calls.
+        Superseded files are reclaimed with the workdir (see __init__
+        finalizer) or by the caller deleting the views."""
+        self._memmap_seq = getattr(self, "_memmap_seq", 0) + 1
         return np.lib.format.open_memmap(
-            self.workdir / f"{name}.npy", mode="w+", shape=tuple(shape), dtype=dtype
+            self.workdir / f"{self._memmap_seq:03d}_{name}.npy",
+            mode="w+", shape=tuple(shape), dtype=dtype,
         )
 
     def _predict_axis_streaming(
