@@ -289,3 +289,31 @@ def test_multihost_predict_single_process(model_path, prediction_settings,
     stitched = stitch_partial_predictions([part])
     expected, _ = predictor._predict_single_axis(vol)
     assert np.array_equal(stitched, expected)
+
+
+@pytest.mark.slow
+def test_sharded_12_way_matches_single_device(model_path, prediction_settings):
+    """The deduplicated 8-sweep 12-way path must also be mesh-invariant:
+    labels identical, probs within a float16 ulp (local batch size changes
+    conv accumulation order)."""
+    import numpy as np
+
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
+        VolSeg2dPredictor,
+    )
+
+    vol = np.random.default_rng(4).integers(0, 255, (16, 16, 16)).astype(np.uint8)
+    prediction_settings.prediction_batch_size = 8
+    prediction_settings.data_parallel = True
+    sharded = VolSeg2dPredictor(model_path, prediction_settings)
+    assert sharded.n_dev == 8
+    l_dp, p_dp = sharded._predict_12_ways_max_probs(vol)
+
+    prediction_settings.data_parallel = False
+    single = VolSeg2dPredictor(model_path, prediction_settings)
+    l_1, p_1 = single._predict_12_ways_max_probs(vol)
+
+    assert np.array_equal(l_dp, l_1)
+    assert np.allclose(
+        p_dp.astype(np.float32), p_1.astype(np.float32), atol=2e-3
+    )
