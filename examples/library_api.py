@@ -10,7 +10,9 @@ from volume_segmantics_tpu.utils import Quality
 
 
 def main():
-    # Settings from dicts (no YAML files needed for library use)
+    # Settings from dicts (no YAML files needed for library use).
+    # kind="training" validates the dict against the typed schema up front
+    # (missing/mistyped keys raise SettingsError with the full list).
     train_settings = get_settings_data(
         {
             "data_im_dirname": "data", "seg_im_out_dirname": "seg",
@@ -26,7 +28,8 @@ def main():
             "lr_reduce_factor": 500, "plot_lr_graph": False,
             "model": {"type": "U_Net", "encoder_name": "resnet34",
                       "encoder_weights": None},
-        }
+        },
+        kind="training",
     )
 
     # Synthetic volume + labels (replace with your arrays)
@@ -56,7 +59,8 @@ def main():
             "st_dev_factor": 2.575, "data_hdf5_path": "/data",
             "cuda_device": 0, "downsample": False, "one_hot": False,
             "prediction_axis": "Z",
-        }
+        },
+        kind="prediction",
     )
     manager = VolSeg2DPredictionManager(str(model_out), vol, pred_settings)
     prediction = manager.predict_volume_to_path(None, Quality.MEDIUM)
