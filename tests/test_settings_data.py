@@ -160,3 +160,40 @@ def test_settings_accepts_str_path(training_settings_path):
     from_path = get_settings_data(training_settings_path)
     assert vars(from_str) == vars(from_path)
     assert hasattr(from_str, "image_size")
+
+
+def test_require_settings_lists_all_missing():
+    from volume_segmantics_tpu.data.settings_data import require_settings
+
+    s = SimpleNamespace(one_hot=False)
+    with pytest.raises(SettingsError) as exc:
+        require_settings(s, ("one_hot", "output_probs", "quality"), "prediction")
+    msg = str(exc.value)
+    assert "'output_probs'" in msg and "'quality'" in msg
+    assert "'one_hot'" not in msg
+
+
+def test_prediction_manager_rejects_partial_settings(model_path):
+    """Library route: a hand-built settings object missing required keys
+    fails at construction with a clear SettingsError, not a deep
+    AttributeError (reference parity gap closed)."""
+    import numpy as np
+
+    from volume_segmantics_tpu.model import VolSeg2DPredictionManager
+
+    vol = np.zeros((4, 8, 8), np.uint8)
+    with pytest.raises(SettingsError) as exc:
+        VolSeg2DPredictionManager(
+            model_path, vol, SimpleNamespace(clip_data=False)
+        )
+    assert "missing required key" in str(exc.value)
+    assert "'one_hot'" in str(exc.value)
+
+
+def test_trainer_rejects_partial_settings():
+    from volume_segmantics_tpu.model import VolSeg2dTrainer
+
+    with pytest.raises(SettingsError) as exc:
+        VolSeg2dTrainer([], [], 2, SimpleNamespace(image_size=64))
+    assert "missing required key" in str(exc.value)
+    assert "'loss_criterion'" in str(exc.value)

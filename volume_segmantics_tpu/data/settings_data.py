@@ -184,6 +184,20 @@ def _load_yaml_settings(path: Path, kind: Optional[str]):
         sys.exit(1)
 
 
+def require_settings(settings, keys, context: str) -> None:
+    """Raise SettingsError listing EVERY missing key, for library entry
+    points fed hand-built namespaces/dicts that bypassed the typed loaders
+    (the reference dies with a bare AttributeError at first deep use)."""
+    missing = [k for k in keys if not hasattr(settings, k)]
+    if missing:
+        raise SettingsError(
+            f"{context} settings are missing required key(s): "
+            f"{', '.join(repr(k) for k in missing)}. Build settings with "
+            f"get_settings_data(..., kind=...) to validate the full schema "
+            f"up front."
+        )
+
+
 def get_settings_data(
     data: Union[Path, str, dict, None],
     kind: Optional[str] = None,

@@ -78,6 +78,15 @@ class VolSeg2dTrainer:
         data_slices, label_slices = slicer.get_slice_arrays()
         return cls(data_slices, label_slices, labels, settings)
 
+    # Keys the training flow reads WITHOUT defaults; checked up front so a
+    # hand-built settings object fails with a clear message instead of a
+    # deep AttributeError.
+    REQUIRED_SETTINGS = (
+        "image_size", "training_set_proportion", "loss_criterion",
+        "eval_metric", "starting_lr", "end_lr", "lr_find_epochs",
+        "lr_reduce_factor", "patience", "model",
+    )
+
     def __init__(
         self,
         image_dir_path: Path,
@@ -85,6 +94,9 @@ class VolSeg2dTrainer:
         labels: Union[int, dict],
         settings: SimpleNamespace,
     ):
+        from volume_segmantics_tpu.data.settings_data import require_settings
+
+        require_settings(settings, self.REQUIRED_SETTINGS, "training")
         self.training_loader, self.validation_loader = get_2d_training_dataloaders(
             image_dir_path, label_dir_path, settings
         )

@@ -20,12 +20,24 @@ from volume_segmantics_tpu.model.operations.vol_seg_2d_predictor import (
 class VolSeg2DPredictionManager(BaseDataManager):
     """Manages prediction of segmentation volumes to disk."""
 
+    # Keys the prediction flow reads WITHOUT defaults; checked up front so
+    # a hand-built settings object fails with a clear message instead of a
+    # deep AttributeError (`quality` is only needed when predict is called
+    # without an explicit quality argument, so it stays lazy).
+    REQUIRED_SETTINGS = (
+        "clip_data", "st_dev_factor", "downsample", "data_hdf5_path",
+        "one_hot", "output_probs",
+    )
+
     def __init__(
         self,
         model_file_path: str,
         data_vol: Union[str, np.ndarray],
         settings: SimpleNamespace,
     ) -> None:
+        from volume_segmantics_tpu.data.settings_data import require_settings
+
+        require_settings(settings, self.REQUIRED_SETTINGS, "prediction")
         super().__init__(data_vol, settings)
         self.predictor = VolSeg2dPredictor(model_file_path, settings)
         self.settings = settings
