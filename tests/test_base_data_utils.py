@@ -340,3 +340,52 @@ class TestStreamingClipDtypeIdentity:
         serial = streaming_nanstd(vol, mean, 4)
         threaded = streaming_nanstd(vol, mean, 4, threads=True)
         assert serial == threaded
+
+
+class TestGetBatchSize:
+    """Batch-size resolution: performance profiles, overrides, rounding
+    (get_batch_size; reference base_data_utils.py:104-122 heuristic role).
+    The suite's 8-device virtual mesh rounds results to multiples of 8."""
+
+    def _round(self, n):
+        import jax
+
+        d = jax.device_count()
+        return ((n + d - 1) // d) * d
+
+    def test_parity_default_train(self):
+        from types import SimpleNamespace
+
+        import volume_segmantics_tpu.utils.config as cfg
+
+        got = utils.get_batch_size(SimpleNamespace())
+        assert got == self._round(cfg.BIG_TRAIN_BATCH)
+
+    def test_throughput_profile_train(self):
+        from types import SimpleNamespace
+
+        import volume_segmantics_tpu.utils.config as cfg
+
+        s = SimpleNamespace(performance_profile="throughput")
+        assert utils.get_batch_size(s) == self._round(cfg.THROUGHPUT_TRAIN_BATCH)
+
+    def test_explicit_batch_size_beats_profile(self):
+        from types import SimpleNamespace
+
+        s = SimpleNamespace(performance_profile="throughput", batch_size=8)
+        assert utils.get_batch_size(s) == self._round(8)
+
+    def test_profile_does_not_change_prediction(self):
+        from types import SimpleNamespace
+
+        parity = utils.get_batch_size(SimpleNamespace(), prediction=True)
+        thr = utils.get_batch_size(
+            SimpleNamespace(performance_profile="throughput"), prediction=True
+        )
+        assert parity == thr
+
+    def test_unknown_profile_rejected(self):
+        from types import SimpleNamespace
+
+        with pytest.raises(ValueError, match="performance_profile"):
+            utils.get_batch_size(SimpleNamespace(performance_profile="turbo"))

@@ -18,6 +18,7 @@ import dataclasses
 import importlib
 import inspect
 import pkgutil
+import re
 import sys
 from pathlib import Path
 
@@ -33,14 +34,22 @@ OUT = Path(__file__).resolve().parent.parent / "docs" / "API_REFERENCE.md"
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # Default-value reprs of plain objects (e.g. flax's module _Sentinel)
+    # embed the process's heap addresses; scrub them so regeneration is
+    # byte-identical across runs (the CI drift check diffs this file).
+    return re.sub(r" at 0x[0-9a-fA-F]+", " at 0x...", sig)
 
 
 def _doc(obj) -> str:
     doc = inspect.getdoc(obj)
-    return doc.strip() if doc else ""
+    if not doc:
+        return ""
+    # Auto-generated dataclass docstrings repeat the signature (see
+    # _signature for why the addresses must go).
+    return re.sub(r" at 0x[0-9a-fA-F]+", " at 0x...", doc.strip())
 
 
 def _is_public(name: str) -> bool:

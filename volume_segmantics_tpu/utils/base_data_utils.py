@@ -122,6 +122,12 @@ def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
     Mirrors the config surface of reference base_data_utils.py:104-122 but
     queries TPU HBM (or uses static defaults) instead of CUDA.
     """
+    profile = getattr(settings, "performance_profile", None) or "parity"
+    if profile not in cfg.PERFORMANCE_PROFILES:
+        raise ValueError(
+            f"performance_profile must be one of "
+            f"{list(cfg.PERFORMANCE_PROFILES)}, got {profile!r}."
+        )
     override_key = "prediction_batch_size" if prediction else "batch_size"
     override = getattr(settings, override_key, None)
     if override:
@@ -132,8 +138,19 @@ def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
         if free_mem < cfg.BIG_HBM_THRESHOLD:
             batch_size = cfg.SMALL_BATCH
         elif not prediction:
-            batch_size = cfg.BIG_TRAIN_BATCH
+            # `performance_profile: throughput` trades the reference's
+            # GPU-era batch (kept as the parity default so LR schedules
+            # match the reference run-for-run) for the measured MXU-optimal
+            # batch (cfg.THROUGHPUT_TRAIN_BATCH; 2.6x slices/s on v5e).
+            batch_size = (
+                cfg.THROUGHPUT_TRAIN_BATCH
+                if profile == "throughput"
+                else cfg.BIG_TRAIN_BATCH
+            )
         else:
+            # Prediction defaults are already throughput-tuned
+            # (cfg.BIG_PRED_BATCH + per-arch caps); the profile only
+            # affects training.
             batch_size = cfg.BIG_PRED_BATCH
         logging.info(
             f"Free device memory is {free_mem:0.2f} GB. Batch size will be "

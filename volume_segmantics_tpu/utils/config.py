@@ -48,6 +48,13 @@ BIG_HBM_THRESHOLD = 8  # HBM (GB) above which the big batch sizes are used
 # 64 -> 921, 128 -> 1221 slices/s — scale the LR accordingly on short
 # schedules; the LR finder adapts automatically).
 BIG_TRAIN_BATCH = 12
+# Training batch used by `performance_profile: throughput` (settings key,
+# no reference equivalent): the largest batch in the measured sweep above,
+# 2.6x the parity default's throughput on v5e. The LR finder re-derives the
+# learning rate at the larger batch, so OneCycle schedules stay sane; for
+# fixed-LR fine-tuning scale the LR with the batch yourself.
+THROUGHPUT_TRAIN_BATCH = 128
+PERFORMANCE_PROFILES = ("parity", "throughput")
 # Pure throughput: larger batches feed the MXU better. Measured on v5e,
 # 256³ 12-way TTA: batch 32 -> 1.63 s, 64 -> 1.2 s, 128 -> 0.92 s, 256 no
 # further gain; 512³ runs at batch 128 without memory pressure.
