@@ -99,6 +99,14 @@ class VolSeg2dPredictor:
     """Performs 2d model prediction over 3d volumes. Does not touch disk."""
 
     def __init__(self, model_file_path: str, settings: SimpleNamespace) -> None:
+        from volume_segmantics_tpu.utils.host_memory import (
+            tune_malloc_for_large_buffers,
+        )
+
+        # Whole-volume label/prob outputs are allocated per call; without
+        # this, each call re-pays the kernel's first-touch fault cost for
+        # its full output footprint (see utils/host_memory.py).
+        tune_malloc_for_large_buffers()
         self.model_file_path = Path(model_file_path)
         self.settings = settings
         self.model_device_num = int(getattr(settings, "cuda_device", 0))

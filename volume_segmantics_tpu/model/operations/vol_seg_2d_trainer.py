@@ -95,8 +95,14 @@ class VolSeg2dTrainer:
         settings: SimpleNamespace,
     ):
         from volume_segmantics_tpu.data.settings_data import require_settings
+        from volume_segmantics_tpu.utils.host_memory import (
+            tune_malloc_for_large_buffers,
+        )
 
         require_settings(settings, self.REQUIRED_SETTINGS, "training")
+        # Slice stacks and epoch shuffles churn large host buffers; keep
+        # freed pages in-process (see utils/host_memory.py).
+        tune_malloc_for_large_buffers()
         self.training_loader, self.validation_loader = get_2d_training_dataloaders(
             image_dir_path, label_dir_path, settings
         )
