@@ -60,18 +60,17 @@ PERFORMANCE_PROFILES = ("parity", "throughput")
 # further gain; 512³ runs at batch 128 without memory pressure.
 BIG_PRED_BATCH = 128
 # Per-architecture first-contact prediction batch caps (keys: ModelType
-# names). VMEM-heavy decoders exceed a v5e's scoped memory at
-# BIG_PRED_BATCH on large slice shapes; compiling-failing-halving (the
-# predictor's backoff) costs a full retrace per halving, so start such
-# archs at a batch known to compile first-try. The backoff remains as the
-# safety net for unusually large slices/encoders, and an explicit
-# `prediction_batch_size` in settings bypasses the cap entirely.
-# (TPU-native analog of the reference's free-CUDA-memory heuristic,
-# reference utilities/base_data_utils.py:104-122.)
-PRED_BATCH_CAPS = {
-    "DEEPLABV3": 64,
-    "DEEPLABV3_PLUS": 32,
-}
+# names). A VMEM-heavy decoder that exceeds the chip's scoped memory at
+# BIG_PRED_BATCH would pay a full compile-fail-retrace per halving of the
+# predictor's backoff, so such archs would start here at a batch known to
+# compile first-try. Measured on v5e (tools/measure_batch_caps.py, 512²
+# slices, resnet34): ALL 8 architectures compile and run first-try at
+# batch 128 — including DeepLabV3/+ full 12-way with probs at 512³ — so
+# the shipped table is empty; the halving backoff remains the safety net
+# for larger slices/encoders, and an explicit `prediction_batch_size` in
+# settings always bypasses the cap. (TPU-native analog of the reference's
+# free-CUDA-memory heuristic, reference utilities/base_data_utils.py:104-122.)
+PRED_BATCH_CAPS = {}
 SMALL_BATCH = 2
 IM_SIZE_DIVISOR = 32  # Image dims must be a multiple of this (model strides)
 MODEL_INPUT_CHANNELS = 1  # Grayscale input images
