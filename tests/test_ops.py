@@ -194,6 +194,51 @@ class TestMxuWarpKernel:
         assert np.isclose(float(out_img[0, 0, 0]), 150.0 / 255.0, atol=1e-6)
 
 
+class TestFusedClaheKernel:
+    """The fully-fused Pallas CLAHE (ops/clahe.py:clahe_batch_fused) must
+    match the XLA `clahe` per sample and pass skipped samples through
+    untouched. Run in interpreter mode so the kernel logic is pinned on
+    CPU CI (bit-identical to the XLA path there; ~1e-7 on TPU)."""
+
+    def test_matches_xla_clahe_and_passthrough(self):
+        from volume_segmantics_tpu.ops.clahe import clahe_batch_fused
+
+        rng = np.random.default_rng(5)
+        n, S = 4, 64
+        imgs = rng.random((n, S, S)).astype(np.float32)
+        clips = np.array([1.0, 2.5, 3.3, 4.0], np.float32)
+        apply = np.array([1, 0, 1, 1], np.int32)
+        out = np.asarray(
+            clahe_batch_fused(
+                jnp.asarray(imgs),
+                jnp.asarray(clips),
+                jnp.asarray(apply),
+                interpret=True,
+            )
+        )
+        assert np.array_equal(out[1], imgs[1])  # skipped sample untouched
+        for i in (0, 2, 3):
+            ref = np.asarray(clahe(jnp.asarray(imgs[i]), jnp.float32(clips[i])))
+            np.testing.assert_allclose(out[i], ref, atol=1e-6, rtol=0)
+
+    def test_skewed_histogram_redistribution(self):
+        """Dark image exercises the OpenCV clip/redistribute branch."""
+        from volume_segmantics_tpu.ops.clahe import clahe_batch_fused
+
+        rng = np.random.default_rng(9)
+        img = (rng.random((64, 64)) ** 3).astype(np.float32)
+        out = np.asarray(
+            clahe_batch_fused(
+                jnp.asarray(img[None]),
+                jnp.asarray([1.5], np.float32),
+                jnp.ones(1, jnp.int32),
+                interpret=True,
+            )
+        )[0]
+        ref = np.asarray(clahe(jnp.asarray(img), jnp.float32(1.5)))
+        np.testing.assert_allclose(out, ref, atol=1e-6, rtol=0)
+
+
 class TestAlignCornersResize:
     def test_matches_torch_interpolate(self):
         """resize_align_corners (matmul form) == torch F.interpolate with

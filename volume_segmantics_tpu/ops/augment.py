@@ -265,16 +265,15 @@ def _geometric_coords(rng, size):
     return coords
 
 
-def _intensity(rng, img):
-    """CLAHE (p=0.5) then OneOf{brightness/contrast, gamma} (p=0.5) on a
-    float image in [0, 1]."""
+def _intensity_params(rng):
+    """Draw every intensity-stage random parameter for one sample. Split out
+    of `_intensity` so the batched TPU path (fused-CLAHE kernel) consumes
+    the PRNG stream identically to the per-sample path."""
     keys = jax.random.split(rng, 7)
     do_clahe = jax.random.bernoulli(keys[0], 0.5)
     clip = jax.random.uniform(
         keys[1], (), minval=CLAHE_CLIP_RANGE[0], maxval=CLAHE_CLIP_RANGE[1]
     )
-    img = jnp.where(do_clahe, clahe(img, clip), img)
-
     do_bcg = jax.random.bernoulli(keys[2], 0.5)
     branch = jax.random.randint(keys[3], (), 0, 2)
     alpha = 1.0 + jax.random.uniform(
@@ -286,10 +285,23 @@ def _intensity(rng, img):
     gamma = jax.random.uniform(
         keys[5], (), minval=GAMMA_RANGE[0], maxval=GAMMA_RANGE[1]
     )
+    return do_clahe, clip, do_bcg, branch, alpha, beta, gamma
+
+
+def _apply_bc_gamma(do_bcg, branch, alpha, beta, gamma, img):
+    """OneOf{brightness/contrast, gamma} (p=0.5) on a float image in [0, 1]."""
     bc = jnp.clip(img * alpha + beta, 0.0, 1.0)
     gm = jnp.power(jnp.clip(img, 1e-7, 1.0), gamma)
     adjusted = jnp.where(branch == 0, bc, gm)
     return jnp.where(do_bcg, adjusted, img)
+
+
+def _intensity(rng, img):
+    """CLAHE (p=0.5) then OneOf{brightness/contrast, gamma} (p=0.5) on a
+    float image in [0, 1]."""
+    do_clahe, clip, do_bcg, branch, alpha, beta, gamma = _intensity_params(rng)
+    img = jnp.where(do_clahe, clahe(img, clip), img)
+    return _apply_bc_gamma(do_bcg, branch, alpha, beta, gamma, img)
 
 
 def _augment_one(rng, img, mask, size):
@@ -320,12 +332,25 @@ def augment_batch_u8(rng, images_u8, masks_u8, size):
     # size % 32 == 0 (true for the settings default 256 and any
     # IM_SIZE_DIVISOR-aligned size); other sizes take the gather path.
     if jax.default_backend() == "tpu" and size % 32 == 0:
+        from volume_segmantics_tpu.ops.clahe import clahe_batch_fused
         from volume_segmantics_tpu.ops.warp import warp_batch_u8_mxu
 
         imgs_f, msks_out = warp_batch_u8_mxu(images_u8, masks_u8, coords)
+        imgs_f = jnp.clip(imgs_f, 0.0, 1.0)
+        # Intensity stage with the fused-CLAHE Pallas kernel: identical PRNG
+        # draws to `_intensity`, but CLAHE runs batch-level with per-sample
+        # skip predication (p=0.5 draw), so skipped samples cost one VMEM
+        # copy instead of a computed-then-discarded CLAHE.
+        do_clahe, clip, do_bcg, branch, alpha, beta, gamma = jax.vmap(
+            _intensity_params
+        )(k_int)
+        imgs_f = clahe_batch_fused(imgs_f, clip, do_clahe)
+        imgs_f = jax.vmap(_apply_bc_gamma)(
+            do_bcg, branch, alpha, beta, gamma, imgs_f
+        )
     else:
         imgs_f, msks_out = jax.vmap(warp_pair_u8)(images_u8, masks_u8, coords)
-    imgs_f = jax.vmap(_intensity)(k_int, jnp.clip(imgs_f, 0.0, 1.0))
+        imgs_f = jax.vmap(_intensity)(k_int, jnp.clip(imgs_f, 0.0, 1.0))
     return imgs_f, msks_out
 
 

@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("grid_h", "grid_w"))
@@ -103,3 +104,211 @@ def clahe(
     wx = axis_weights(w, tw, grid_w)
     out = jnp.einsum("yxij,yi,xj->yx", g, wy, wx)
     return out / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused Pallas kernel (TPU fast path for the augmentation pipeline)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation above materialises a (P, 256) one-hot (32 MB bf16 at
+# 256²) and a (P, 64) gather matrix (16 MB f32) in HBM per image — at train
+# batch 128 that HBM traffic, not FLOPs, dominated the cost (~15.6 ms of the
+# 104 ms fused train step, measured on v5e). The kernel below runs the whole
+# operation per sample inside VMEM: histogram, OpenCV clip/redistribute, CDF
+# (as an exact lower-triangular f32 matmul instead of cumsum), and the
+# bilinear tile blend evaluated band-by-band, so HBM sees only the image in
+# and the image out (0.5 MB/sample). It also takes a per-sample `apply`
+# flag: albumentations draws CLAHE with p=0.5, and skipped samples cost one
+# VMEM copy instead of a full discarded CLAHE (the XLA path computes then
+# `where`-discards).
+#
+# Numerics: counts, clip/redistribute quantities and LUT values are exact
+# small integers in float32, identical to the XLA path; only the final
+# f32 blend order differs (explicit x-then-y instead of einsum's internal
+# order), which is ~1e-7 relative — far inside the ≤1 gray level pin of
+# tests/test_cv2_parity.py.
+
+
+def _clahe_kernel_body(S: int, grid_h: int, grid_w: int):
+    th, tw = S // grid_h, S // grid_w
+    tile_area = th * tw
+    n_tiles = grid_h * grid_w
+    n_bins = 256
+    band_h = th // 2  # half-tile row bands: tile-row pair fixed per band
+    n_bands = S // band_h
+
+    def kernel(img_ref, clip_ref, flag_ref, wx_ref, tril_ref, out_ref,
+               luts_ref):
+        import jax.experimental.pallas as pl
+
+        @pl.when(flag_ref[0, 0, 0] == 0)
+        def _passthrough():
+            out_ref[...] = img_ref[...]
+
+        @pl.when(flag_ref[0, 0, 0] != 0)
+        def _clahe():
+            iota_b = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, n_bins), 2
+            ).astype(jnp.float32)
+
+            def read_bins(row_start, rows):
+                """Rows [row_start, row_start+rows) as f32 bin values."""
+                block = img_ref[pl.dslice(0, 1), pl.dslice(row_start, rows), :][0]
+                return jnp.clip(jnp.round(block * 255.0), 0, 255)
+
+            # --- per-tile histograms -> luts_ref as (grid_h, grid_w, B) ---
+            def strip_body(ty, carry):
+                strip = read_bins(ty * th, th)  # (th, S)
+                cmp = (strip[:, :, None] == iota_b).astype(jnp.bfloat16)
+                # counts per column: sum over the th rows (exact: <= th)
+                col_counts = jnp.sum(cmp, axis=0)  # (S, B) bf16
+                # segment-sum columns into grid_w tiles (exact in f32)
+                seg = jnp.sum(
+                    col_counts.reshape(grid_w, tw, n_bins).astype(
+                        jnp.float32
+                    ),
+                    axis=1,
+                )  # (grid_w, B)
+                luts_ref[pl.dslice(ty, 1), :, :] = seg[None]
+                return carry
+
+            jax.lax.fori_loop(0, grid_h, strip_body, 0, unroll=False)
+
+            # --- OpenCV clip/redistribute + CDF -> LUTs (in place) ---
+            hist = luts_ref[...].reshape(n_tiles, n_bins)
+            clip_limit = clip_ref[0, 0, 0]
+            limit = jnp.maximum(
+                jnp.floor(clip_limit * tile_area / n_bins), 1.0
+            )
+            clipped = jnp.minimum(hist, limit)
+            excess = jnp.sum(hist - clipped, axis=1, keepdims=True)
+            redist = jnp.floor(excess / n_bins)
+            residual = excess - redist * n_bins
+            step = jnp.maximum(
+                jnp.floor(n_bins / jnp.maximum(residual, 1.0)), 1.0
+            )
+            bin_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (n_tiles, n_bins), 1
+            ).astype(jnp.float32)
+            gets_one = (jnp.mod(bin_idx, step) == 0.0) & (
+                bin_idx / step < residual
+            )
+            clipped = clipped + redist + gets_one.astype(jnp.float32)
+            cdf = jax.lax.dot_general(
+                clipped,
+                tril_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # exact integer counts
+            luts = jnp.clip(
+                jnp.rint(cdf * ((n_bins - 1) / tile_area)), 0, 255
+            )
+            luts_ref[...] = luts.reshape(grid_h, grid_w, n_bins)
+
+            # --- bilinear tile blend, one half-tile row band at a time ---
+            wx = wx_ref[...]  # (S, grid_w) static column weights
+
+            def band_body(r, carry):
+                ty0f = jnp.floor((r * band_h - th // 2) / th).astype(
+                    jnp.int32
+                )
+                ty0 = jnp.clip(ty0f, 0, grid_h - 1)
+                ty1 = jnp.clip(ty0f + 1, 0, grid_h - 1)
+                l0 = luts_ref[pl.dslice(ty0, 1), :, :][0]  # (grid_w, B)
+                l1 = luts_ref[pl.dslice(ty1, 1), :, :][0]
+                # Column-blended LUT tables: (S, B) = wx @ L
+                dn = (((1,), (0,)), ((), ()))
+                a0 = jax.lax.dot_general(
+                    wx, l0, dn, preferred_element_type=jnp.float32
+                )
+                a1 = jax.lax.dot_general(
+                    wx, l1, dn, preferred_element_type=jnp.float32
+                )
+                band = read_bins(r * band_h, band_h)  # (band_h, S)
+                oh = (band[:, :, None] == iota_b).astype(jnp.float32)
+                out0 = jnp.sum(oh * a0[None], axis=2)  # (band_h, S)
+                out1 = jnp.sum(oh * a1[None], axis=2)
+                yy = jax.lax.broadcasted_iota(
+                    jnp.int32, (band_h, 1), 0
+                ).astype(jnp.float32) + jnp.float32(r * band_h)
+                t = (yy - th * 0.5) / th
+                frac = t - jnp.floor(t)
+                out = (1.0 - frac) * out0 + frac * out1
+                out_ref[
+                    pl.dslice(0, 1), pl.dslice(r * band_h, band_h), :
+                ] = (out / 255.0)[None]
+                return carry
+
+            jax.lax.fori_loop(0, n_bands, band_body, 0, unroll=False)
+
+    return kernel
+
+
+def _clahe_wx(S: int, grid_w: int) -> np.ndarray:
+    """Static (S, grid_w) column blend weights (OpenCV semantics: fraction
+    before clamping, both neighbour indices clamped independently)."""
+    tw = S // grid_w
+    t = np.arange(S, dtype=np.float64) / tw - 0.5
+    t0f = np.floor(t)
+    frac = (t - t0f).astype(np.float32)
+    t0 = np.clip(t0f.astype(np.int64), 0, grid_w - 1)
+    t1 = np.clip(t0f.astype(np.int64) + 1, 0, grid_w - 1)
+    w = np.zeros((S, grid_w), np.float32)
+    w[np.arange(S), t0] += 1.0 - frac
+    w[np.arange(S), t1] += frac
+    return w
+
+
+def clahe_batch_fused(
+    imgs: jnp.ndarray,
+    clips: jnp.ndarray,
+    apply: jnp.ndarray,
+    grid_h: int = 8,
+    grid_w: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched CLAHE via the fused Pallas kernel.
+
+    Args:
+        imgs: (N, S, S) float32 in [0, 1]; S % 16 == 0 with an 8x8 grid.
+        clips: (N,) float32 clip limits (OpenCV-relative, typically U(1, 4)).
+        apply: (N,) bool/int — samples with 0 pass through untouched.
+        interpret: run in Pallas interpreter mode (CPU-testable).
+
+    Returns (N, S, S) float32; matches `clahe` per sample to f32 blend
+    rounding (~1e-7), and `imgs` exactly where apply == 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w = imgs.shape
+    assert h == w, "square CLAHE tiles expected"
+    S = h
+    assert S % (2 * grid_h) == 0 and S % grid_w == 0
+    kernel = _clahe_kernel_body(S, grid_h, grid_w)
+    wx = jnp.asarray(_clahe_wx(S, grid_w))
+    tril = jnp.asarray(
+        np.tril(np.ones((256, 256), np.float32), k=0).T
+    )  # tril.T[b, ob] = 1 where b <= ob
+    clips2 = clips.reshape(n, 1, 1).astype(jnp.float32)
+    flags2 = apply.reshape(n, 1, 1).astype(jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((S, grid_w), lambda i: (0, 0)),
+            pl.BlockSpec((256, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, S), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, S, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((grid_h, grid_w, 256), jnp.float32)],
+        interpret=interpret,
+    )(imgs.astype(jnp.float32), clips2, flags2, wx, tril)
+    return out

@@ -99,10 +99,14 @@ def _warp_kernel_body(S: int, P_BLK: int):
     measured). Per output block of P_BLK pixels this kernel instead builds
     (S, P_BLK) one-hot row selectors on the VPU and contracts them with the
     image on the MXU: every one-hot row has exactly one 1, so the dot has a
-    single nonzero term — no accumulation error — and uint8 payloads are
-    exact in bf16 (integers <= 256). All intermediates live in VMEM; the
-    image block stays resident across the P-blocks of one sample. Measured
-    4.2x over the XLA gather (147 -> 35 ms for a 32x256² batch on v5e).
+    single nonzero term — no accumulation error. The dots run on the INT8
+    MXU path (v5e: 2x the bf16 rate): pixel payloads are shifted to
+    [-128, 127], the one-hots are 0/1 int8, and the int32 accumulation is
+    exact, so the +128 shift-back reproduces the uint8 taps bit-for-bit.
+    All intermediates live in VMEM; the image block stays resident across
+    the P-blocks of one sample. Measured 4.2x over the XLA gather
+    (147 -> 35 ms for a 32x256² batch on v5e); int8 a further 1.33x over
+    the bf16 dots (22.5 -> 16.8 ms for a 128x256² batch).
 
     Orientation note: everything is row-major — coordinate vectors ride as
     (1, P_BLK) lane vectors, one-hots as (S, P_BLK) with the source index on
@@ -111,7 +115,7 @@ def _warp_kernel_body(S: int, P_BLK: int):
     """
 
     def kernel(yx_ref, img_ref, msk_ref, out_ref):
-        img = img_ref[0]                       # (S, S) bf16
+        img = img_ref[0]                       # (S, S) int8, payload - 128
         msk = msk_ref[0]
         y = yx_ref[0, 0, 0:1, :]               # (1, P_BLK) f32
         x = yx_ref[0, 0, 1:2, :]
@@ -134,16 +138,21 @@ def _warp_kernel_body(S: int, P_BLK: int):
         ym = jnp.where(wy > 0.5, y1r, y0r)
         xm = jnp.where(wx > 0.5, x1r, x0r)
         sub = jax.lax.broadcasted_iota(jnp.int32, (S, P_BLK), 0)
-        oh0 = (y0r == sub).astype(jnp.bfloat16)
-        oh1 = (y1r == sub).astype(jnp.bfloat16)
-        ohm = (ym == sub).astype(jnp.bfloat16)
+        oh0 = (y0r == sub).astype(jnp.int8)
+        oh1 = (y1r == sub).astype(jnp.int8)
+        ohm = (ym == sub).astype(jnp.int8)
         dn = (((0,), (0,)), ((), ()))
-        rows0 = jax.lax.dot_general(img, oh0, dn,
-                                    preferred_element_type=jnp.float32)
-        rows1 = jax.lax.dot_general(img, oh1, dn,
-                                    preferred_element_type=jnp.float32)
-        rowsm = jax.lax.dot_general(msk, ohm, dn,
-                                    preferred_element_type=jnp.float32)
+        # Each one-hot column sums to 1, so adding 128 undoes the payload
+        # shift exactly in int32.
+        rows0 = (jax.lax.dot_general(img, oh0, dn,
+                                     preferred_element_type=jnp.int32)
+                 + 128).astype(jnp.float32)
+        rows1 = (jax.lax.dot_general(img, oh1, dn,
+                                     preferred_element_type=jnp.int32)
+                 + 128).astype(jnp.float32)
+        rowsm = (jax.lax.dot_general(msk, ohm, dn,
+                                     preferred_element_type=jnp.int32)
+                 + 128).astype(jnp.float32)
         wsel = jnp.where(x0r == sub, 1.0 - wx, 0.0) + jnp.where(
             x1r == sub, wx, 0.0
         )
@@ -184,7 +193,11 @@ def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, 2, P_BLK), lambda b, p: (b, p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, NB, 2, P_BLK), jnp.float32),
         interpret=interpret,
-    )(yx, imgs_u8.astype(jnp.bfloat16), msks_u8.astype(jnp.bfloat16))
+    )(
+        yx,
+        (imgs_u8.astype(jnp.int32) - 128).astype(jnp.int8),
+        (msks_u8.astype(jnp.int32) - 128).astype(jnp.int8),
+    )
     img_out = out[:, :, 0, :].reshape(n, h, w) / 255.0
     msk_out = out[:, :, 1, :].reshape(n, h, w).astype(jnp.uint8)
     return img_out, msk_out
