@@ -205,8 +205,15 @@ def _clahe_kernel_body(S: int, grid_h: int, grid_w: int):
             )
             luts_ref[...] = luts.reshape(grid_h, grid_w, n_bins)
 
-            # --- bilinear tile blend, one half-tile row band at a time ---
+            # --- bilinear tile blend, one half-tile row band at a time.
+            # Per band the two relevant tile rows are fixed, so the
+            # per-pixel 4-LUT lookup is ONE bf16 one-hot matmul
+            # (band_h*S, B) @ (B, 2*grid_w) on the MXU (LUT values <= 255
+            # are exact in bf16; each one-hot row has a single 1), followed
+            # by a small VPU weight blend. ~15% faster than reducing
+            # oh * table on the VPU (measured at b128/256²). ---
             wx = wx_ref[...]  # (S, grid_w) static column weights
+            wx2 = jnp.concatenate([wx, wx], axis=1)  # (S, 2*grid_w)
 
             def band_body(r, carry):
                 ty0f = jnp.floor((r * band_h - th // 2) / th).astype(
@@ -216,24 +223,28 @@ def _clahe_kernel_body(S: int, grid_h: int, grid_w: int):
                 ty1 = jnp.clip(ty0f + 1, 0, grid_h - 1)
                 l0 = luts_ref[pl.dslice(ty0, 1), :, :][0]  # (grid_w, B)
                 l1 = luts_ref[pl.dslice(ty1, 1), :, :][0]
-                # Column-blended LUT tables: (S, B) = wx @ L
-                dn = (((1,), (0,)), ((), ()))
-                a0 = jax.lax.dot_general(
-                    wx, l0, dn, preferred_element_type=jnp.float32
-                )
-                a1 = jax.lax.dot_general(
-                    wx, l1, dn, preferred_element_type=jnp.float32
-                )
+                ll = jnp.concatenate([l0, l1], axis=0)  # (2*grid_w, B)
                 band = read_bins(r * band_h, band_h)  # (band_h, S)
-                oh = (band[:, :, None] == iota_b).astype(jnp.float32)
-                out0 = jnp.sum(oh * a0[None], axis=2)  # (band_h, S)
-                out1 = jnp.sum(oh * a1[None], axis=2)
+                oh = (band[:, :, None] == iota_b).astype(jnp.bfloat16)
+                g = jax.lax.dot_general(
+                    oh.reshape(band_h * S, n_bins),
+                    ll.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(band_h, S, 2 * grid_w)  # g[y,x,(t,j)] = L[t,j,bin]
                 yy = jax.lax.broadcasted_iota(
-                    jnp.int32, (band_h, 1), 0
+                    jnp.int32, (band_h, 1, 1), 0
                 ).astype(jnp.float32) + jnp.float32(r * band_h)
                 t = (yy - th * 0.5) / th
                 frac = t - jnp.floor(t)
-                out = (1.0 - frac) * out0 + frac * out1
+                wy2 = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(1.0 - frac, (band_h, 1, grid_w)),
+                        jnp.broadcast_to(frac, (band_h, 1, grid_w)),
+                    ],
+                    axis=2,
+                )  # (band_h, 1, 2*grid_w)
+                out = jnp.sum(g * (wy2 * wx2[None]), axis=2)
                 out_ref[
                     pl.dslice(0, 1), pl.dslice(r * band_h, band_h), :
                 ] = (out / 255.0)[None]
