@@ -178,7 +178,9 @@ def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
     n, h, w = imgs_u8.shape
     assert h == w, "square augmentation tiles expected"
     S = h
-    P_BLK = min(1024, S * S)
+    # 4096-pixel blocks measured ~10% faster than 1024 at 128x256² on v5e
+    # (fewer grid steps; Mosaic keeps the larger intermediates resident).
+    P_BLK = min(4096, S * S)
     NB = (S * S) // P_BLK
     yx = coords.reshape(n, 2, NB, P_BLK).transpose(0, 2, 1, 3)
     kernel = _warp_kernel_body(S, P_BLK)
