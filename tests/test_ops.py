@@ -177,6 +177,47 @@ class TestMxuWarpKernel:
             np.asarray(got_img), np.asarray(ref_img), atol=2e-7, rtol=0
         )
 
+    def test_separable_fast_path_matches_gather_warp(self):
+        """At S % 128 == 0 the kernel adds per-sample separable branches
+        (flags 1/2) — pin all three branches in one batch against the
+        vmapped gather reference, including out-of-range coords."""
+        import jax
+
+        from volume_segmantics_tpu.ops.warp import (
+            _separable_tap_inputs,
+            warp_batch_u8_mxu,
+            warp_pair_u8,
+        )
+
+        S, B = 128, 4
+        rng = np.random.default_rng(17)
+        imgs = jnp.asarray(rng.integers(0, 255, (B, S, S), np.uint8))
+        msks = jnp.asarray(rng.integers(0, 4, (B, S, S), np.uint8))
+        coords = np.empty((B, 2, S, S), np.float32)
+        # sample 0: general (elastic-like dense random field)
+        coords[0] = rng.uniform(-5.0, S + 4.0, (2, S, S)).astype(np.float32)
+        # sample 1: separable, y = f(row), x = g(col), out-of-range incl.
+        fy = rng.uniform(-5.0, S + 4.0, S).astype(np.float32)
+        gx = rng.uniform(-5.0, S + 4.0, S).astype(np.float32)
+        coords[1, 0] = fy[:, None]
+        coords[1, 1] = gx[None, :]
+        # sample 2: swapped separable, y = f(col), x = g(row)
+        coords[2, 0] = fy[None, :]
+        coords[2, 1] = gx[:, None]
+        # sample 3: constant field (sep1 AND sep2 -> flag 1 wins)
+        coords[3] = 7.25
+        coords = jnp.asarray(coords)
+
+        flags, _, _, _ = _separable_tap_inputs(coords, S, 8)
+        assert [int(f) for f in flags[:, 0, 0]] == [0, 1, 2, 1]
+
+        ref_img, ref_msk = jax.vmap(warp_pair_u8)(imgs, msks, coords)
+        got_img, got_msk = warp_batch_u8_mxu(imgs, msks, coords, interpret=True)
+        assert np.array_equal(np.asarray(got_msk), np.asarray(ref_msk))
+        np.testing.assert_allclose(
+            np.asarray(got_img), np.asarray(ref_img), atol=2e-7, rtol=0
+        )
+
     def test_bilinear_values_exact(self):
         """Interpolation at half-integer coords hits exact averages."""
         from volume_segmantics_tpu.ops.warp import warp_batch_u8_mxu
