@@ -136,13 +136,22 @@ class VolSeg2dTrainer:
         self._train_step = None
         self._eval_step = None
         self._weight_decay = float(getattr(settings, "weight_decay", 0.01))
-        from volume_segmantics_tpu.parallel.mesh import get_mesh
+        from volume_segmantics_tpu.parallel.mesh import get_mesh, space_size
 
-        self.mesh = get_mesh()
+        # `spatial_partitions: N` (optional, default 1) turns the mesh 2-D:
+        # batch over `data`, image height over `space` — for image sizes
+        # whose activations exceed one chip's HBM (see parallel/train.py).
+        self.mesh = get_mesh(
+            space=int(getattr(settings, "spatial_partitions", 1) or 1)
+        )
         if len(self.mesh.devices.flat) > 1:
-            logging.info(
-                f"Data-parallel training over {len(self.mesh.devices.flat)} devices."
+            sp = space_size(self.mesh)
+            shape = (
+                f"{len(self.mesh.devices.flat) // sp} data x {sp} space"
+                if sp > 1
+                else f"{len(self.mesh.devices.flat)} devices"
             )
+            logging.info(f"Data-parallel training over {shape}.")
 
     # ------------------------------------------------------------------
     # Setup

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 _distributed_initialized = False
 
@@ -65,15 +66,52 @@ def maybe_initialize_distributed() -> bool:
     return jax.process_count() > 1
 
 
-def get_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` devices (all by
-    default). Under `jax.distributed` this spans every process's devices
-    (ICI within a host/slice, DCN across hosts)."""
+def get_mesh(n_devices: Optional[int] = None, space: int = 1) -> Mesh:
+    """Device mesh over the first `n_devices` devices (all by default).
+
+    `space == 1` (default): 1-D data-parallel mesh. `space > 1`: 2-D
+    (`data`, `space`) mesh — the batch axis shards over `data` and the
+    image height axis over `space` (spatial partitioning: GSPMD inserts
+    the conv halo exchanges and cross-shard BatchNorm reductions), which
+    trades ICI traffic for per-device activation memory so large
+    `image_size` training fits. Under `jax.distributed` the mesh spans
+    every process's devices (ICI within a host/slice, DCN across hosts);
+    keep `space` groups inside a host/slice so halos ride ICI, not DCN
+    (devices are laid out row-major, so adjacent `space` coordinates are
+    adjacent devices)."""
     maybe_initialize_distributed()
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.array(devices), (DATA_AXIS,))
+    if space <= 1:
+        return Mesh(np.array(devices), (DATA_AXIS,))
+    if len(devices) % space != 0:
+        raise ValueError(
+            f"spatial_partitions={space} must divide the device count "
+            f"({len(devices)})."
+        )
+    grid = np.array(devices).reshape(len(devices) // space, space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def space_size(mesh: Mesh) -> int:
+    """Size of the spatial-partition axis (1 on a pure data mesh)."""
+    return mesh.shape.get(SPACE_AXIS, 1)
+
+
+def nhwc_sharding(mesh: Mesh) -> NamedSharding:
+    """Activation sharding for NHWC tensors: batch over `data`, height
+    over `space` (no-op spec entries on a 1-D mesh)."""
+    if space_size(mesh) == 1:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+
+
+def nchw_sharding(mesh: Mesh) -> NamedSharding:
+    """Activation sharding for NCHW tensors (loss-side layout)."""
+    if space_size(mesh) == 1:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS, None, SPACE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

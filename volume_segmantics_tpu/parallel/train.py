@@ -6,6 +6,14 @@ along the `data` mesh axis, parameters/optimizer state replicated. XLA
 inserts the gradient all-reduce over ICI; BatchNorm batch statistics are
 computed over the *global* batch because the traced computation is written
 over the full array (GSPMD handles the cross-device mean/var reductions).
+
+On a 2-D (`data`, `space`) mesh (`get_mesh(space=N)` /
+`spatial_partitions: N`), the model input's height axis is additionally
+pinned to the `space` axis: GSPMD spatially partitions every conv
+(automatic halo exchange) so per-device activation memory scales down
+with N — the TPU-native route to training at image sizes whose
+activations exceed one chip's HBM. Augmentation stays batch-sharded (its
+warps gather across the whole tile), and parameters stay replicated.
 """
 
 from typing import Callable
@@ -16,7 +24,13 @@ import optax
 
 import volume_segmantics_tpu.utils.config as cfg
 from volume_segmantics_tpu.ops.augment import augment_batch_u8
-from volume_segmantics_tpu.parallel.mesh import batch_sharding, replicated
+from volume_segmantics_tpu.parallel.mesh import (
+    batch_sharding,
+    nchw_sharding,
+    nhwc_sharding,
+    replicated,
+    space_size,
+)
 
 
 def make_base_optimizer(weight_decay: float = 0.01):
@@ -88,6 +102,7 @@ def build_dp_train_step(
     mean, std = cfg.IMAGENET_MEAN, cfg.IMAGENET_STD
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
+    spatial = space_size(mesh) > 1
 
     def step(params, batch_stats, opt_state, images_u8, masks_u8, lr, rng):
         aug_rng, dropout_rng = jax.random.split(rng)
@@ -103,6 +118,17 @@ def build_dp_train_step(
         targets = jnp.transpose(
             jax.nn.one_hot(msks, num_labels, dtype=jnp.float32), (0, 3, 1, 2)
         )
+        if spatial:
+            # Spatial partitioning: pin the model input's height axis to
+            # the `space` mesh axis. GSPMD propagates the sharding through
+            # every conv (inserting halo exchanges) and reduces the
+            # BatchNorm batch statistics across shards; augmentation above
+            # stays batch-sharded (its warps gather arbitrarily far, so a
+            # height shard could not be computed locally anyway).
+            x = jax.lax.with_sharding_constraint(x, nhwc_sharding(mesh))
+            targets = jax.lax.with_sharding_constraint(
+                targets, nchw_sharding(mesh)
+            )
 
         def compute_loss(p):
             logits, mutated = module.apply(
@@ -172,6 +198,11 @@ def build_dp_eval_step(
                            dtype=jnp.float32),
             (0, 3, 1, 2),
         )
+        if space_size(mesh) > 1:
+            x = jax.lax.with_sharding_constraint(x, nhwc_sharding(mesh))
+            targets = jax.lax.with_sharding_constraint(
+                targets, nchw_sharding(mesh)
+            )
         logits = module.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=False
         )
