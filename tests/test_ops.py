@@ -134,6 +134,45 @@ class TestUpsampleEquivalence:
             )
             assert np.array_equal(ours, ref)
 
+    def test_phase_decomposed_up2_conv_matches_composition(self):
+        """upsample2_conv3x3_phase (models/layers.py) must equal the
+        materializing up2_nearest -> concat(skip) -> SAME conv3x3 path to
+        float tolerance (weight sums reassociate, so ~1 ulp not exact)."""
+        import jax.lax as lax
+
+        from volume_segmantics_tpu.models.layers import (
+            upsample,
+            upsample2_conv3x3_phase,
+        )
+
+        rng = np.random.default_rng(8)
+        for cx, cs, out, h, w in ((5, 3, 4, 6, 7), (2, 0, 3, 3, 5)):
+            x = jnp.asarray(rng.normal(size=(2, h, w, cx)).astype(np.float32))
+            skip = (
+                jnp.asarray(
+                    rng.normal(size=(2, 2 * h, 2 * w, cs)).astype(np.float32)
+                )
+                if cs
+                else None
+            )
+            kernel = jnp.asarray(
+                rng.normal(size=(3, 3, cx + cs, out)).astype(np.float32)
+            )
+            got = np.asarray(
+                upsample2_conv3x3_phase(x, skip, kernel, jnp.float32)
+            )
+            up = upsample(x, 2, "nearest")
+            full = (
+                jnp.concatenate([up, skip], axis=-1) if cs else up
+            )
+            ref = np.asarray(
+                lax.conv_general_dilated(
+                    full, kernel, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
     def test_bilinear_matmul_matches_resize(self):
         """resize_to's identity-weights matmul path == jax.image.resize."""
         import jax

@@ -11,7 +11,11 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, upsample
+from volume_segmantics_tpu.models.layers import (
+    ConvBnAct,
+    UpsampleConvBnAct,
+    upsample,
+)
 
 
 class UnetDecoderBlock(nn.Module):
@@ -20,10 +24,14 @@ class UnetDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
-        x = upsample(x, 2, "nearest")
-        if skip is not None:
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvBnAct(self.features, (3, 3), dtype=self.dtype, name="convbn1")(x, train)
+        # up2 -> concat -> conv3x3 fused via the subpixel phase
+        # decomposition (layers.py:upsample2_conv3x3_phase): neither the
+        # upsampled tensor nor the concat is materialized, which removes
+        # the decoder's dominant HBM traffic at high resolutions. Params
+        # are identical to the upsample+concat+ConvBnAct composition.
+        x = UpsampleConvBnAct(self.features, dtype=self.dtype, name="convbn1")(
+            x, skip, train
+        )
         x = ConvBnAct(self.features, (3, 3), dtype=self.dtype, name="convbn2")(x, train)
         return x
 

@@ -19,7 +19,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, upsample
+from volume_segmantics_tpu.models.layers import ConvBnAct, UpsampleConvBnAct
 
 
 class UnetPPBlock(nn.Module):
@@ -28,12 +28,19 @@ class UnetPPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
-        x = upsample(x, 2, "nearest")
-        if skips:
-            x = jnp.concatenate(
-                [x] + [s.astype(x.dtype) for s in skips], axis=-1
-            )
-        x = ConvBnAct(self.features, (3, 3), dtype=self.dtype, name="convbn1")(x, train)
+        # Dense skips are all full-res; concatenating just them (not the
+        # upsampled x) lets the up2 -> concat -> conv3x3 collapse into the
+        # phase-decomposed fused head (layers.py:upsample2_conv3x3_phase).
+        # smp's concat order ([up2(x)] + skips) is preserved because the
+        # fused head's kernel slices put x's channels first.
+        skip = (
+            jnp.concatenate([s.astype(x.dtype) for s in skips], axis=-1)
+            if skips
+            else None
+        )
+        x = UpsampleConvBnAct(self.features, dtype=self.dtype, name="convbn1")(
+            x, skip, train
+        )
         x = ConvBnAct(self.features, (3, 3), dtype=self.dtype, name="convbn2")(x, train)
         return x
 

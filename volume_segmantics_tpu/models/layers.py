@@ -109,6 +109,117 @@ class StemConv(nn.Module):
         )
 
 
+def upsample2_conv3x3_phase(x, skip, kernel, dtype, bias=None):
+    """conv3x3_SAME(concat(up2_nearest(x), skip)) WITHOUT materializing the
+    upsampled tensor or the concatenation (the decoder mirror of
+    `space_to_depth_conv2d`).
+
+    The nearest x2 upsample makes output pixel (2i+dy, 2j+dx) read source
+    rows {i-1, i} (dy=0) or {i, i+1} (dy=1) — taps that share a source row
+    collapse by summing their weights. Each of the four (dy, dx) phases is
+    therefore a 2x2 conv directly on the LOW-RES tensor; the four phase
+    kernels are embedded at offset (dy, dx) into one 3x3 conv with 4x the
+    output channels, followed by a depth-to-space interleave. The skip
+    (already full-res) contributes an ordinary conv with its kernel slice,
+    fused in by the elementwise add. Profile evidence: the materialized
+    up2 broadcast + its reduce-sum backward alone cost ~2.1 ms/step at
+    batch 128 (HBM-bound, zero FLOPs), plus the concat write/read.
+
+    The phase kernels are built by differentiable slicing/summation of the
+    ORIGINAL (3, 3, Cx+Cs, O) parameter, so the parameter tree, init and
+    checkpoint format are unchanged and gradients flow to the same
+    weights. Weight sums happen in f32 before the compute-dtype cast, so
+    results match the materializing path to ~1 ulp (not bit-identical).
+
+    Args:
+        x: (N, h, w, Cx) low-res input (h, w even output halves).
+        skip: (N, 2h, 2w, Cs) full-res skip or None.
+        kernel: (3, 3, Cx+Cs, O) float32 HWIO weights.
+        dtype: compute dtype for the convs.
+        bias: optional (O,) bias.
+    Returns (N, 2h, 2w, O) in `dtype`: exactly (to ~1 ulp) the SAME-padded
+    3x3 conv over concat(up2(x), skip).
+    """
+    import jax.lax as lax
+
+    n, h, w, cx = x.shape
+    out = kernel.shape[-1]
+    kx = kernel[:, :, :cx, :]
+    # Row/column tap-combination matrices: phase 0 reads offsets {-1, 0}
+    # (weight rows {k0, k1+k2}), phase 1 reads {0, +1} ({k0+k1, k2}).
+    r0 = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], kernel.dtype)
+    r1 = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], kernel.dtype)
+    rows = (r0, r1)
+    embeds = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            p = jnp.einsum("au,bv,uvio->abio", rows[dy], rows[dx], kx)
+            embeds.append(
+                jnp.pad(p, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
+            )
+    k_all = jnp.concatenate(embeds, axis=-1)  # (3, 3, Cx, 4*O)
+    y4 = lax.conv_general_dilated(
+        x.astype(dtype), k_all.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y4.reshape(n, h, w, 2, 2, out).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, 2 * h, 2 * w, out)
+    if skip is not None:
+        ks = kernel[:, :, cx:, :]
+        y = y + lax.conv_general_dilated(
+            skip.astype(dtype), ks.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+class UpsampleConvBnAct(nn.Module):
+    """Fused `up2_nearest -> concat skip -> conv3x3 -> BN -> act` decoder
+    head with ConvBnAct's exact parameter structure (`conv/kernel` +
+    `bn/*`), computed through `upsample2_conv3x3_phase`."""
+
+    features: int
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        kernel = _Conv3x3Params(self.features, cin, name="conv")()
+        y = upsample2_conv3x3_phase(x, skip, kernel, self.dtype)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(y)
+        y = y.astype(self.dtype)
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
+class _Conv3x3Params(nn.Module):
+    """Parameter container with nn.Conv's naming/init ("kernel", HWIO,
+    lecun_normal) so `UpsampleConvBnAct`'s tree is byte-compatible with
+    the ConvBnAct it replaces."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
 class ConvBnAct(nn.Module):
     """conv (no bias) -> BatchNorm -> activation; smp's Conv2dReLU analogue."""
 
