@@ -369,3 +369,182 @@ class TestAlignCornersResize:
                 size=(out_h, out_w), mode="bilinear", align_corners=True,
             ).numpy().transpose(0, 2, 3, 1)
             np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+class TestBnAct:
+    """BnAct (models/layers.py) must replicate flax nn.BatchNorm -> act ->
+    cast: same param/variable tree, same EMA updates (bit-exact), same
+    normalized values to f32-reassociation tolerance (the affine form
+    x*mul + (bias - mean*mul) reorders flax's (x - mean)*mul + bias)."""
+
+    def _flax_ref(self, act):
+        from flax import linen as nn
+
+        class Ref(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                y = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32, name="bn",
+                )(x)
+                y = y.astype(jnp.bfloat16)
+                return act(y) if act is not None else y
+
+        return Ref()
+
+    @pytest.mark.parametrize("use_act", [True, False])
+    def test_matches_flax_batchnorm(self, use_act):
+        from flax import linen as nn
+
+        from volume_segmantics_tpu.models.layers import BnAct
+
+        act = nn.relu if use_act else None
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(
+            (rng.normal(size=(4, 6, 6, 5)) * 3 + 1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ours_mod = BnAct(act=act, dtype=jnp.bfloat16, name="bn")
+        ref_mod = self._flax_ref(act)
+        v_ours = ours_mod.init(jax.random.PRNGKey(0), x, train=True)
+        v_ref = ref_mod.init(jax.random.PRNGKey(0), x, train=True)
+        # identical variable tree (checkpoint compatibility); the ref
+        # wrapper nests its BatchNorm under "bn", ours is top-level
+        assert jax.tree_util.tree_structure(
+            {"params": v_ours["params"], "batch_stats": v_ours["batch_stats"]}
+        ) == jax.tree_util.tree_structure(
+            {
+                "params": v_ref["params"]["bn"],
+                "batch_stats": v_ref["batch_stats"]["bn"],
+            }
+        )
+        # seed non-trivial scale/bias/running stats
+        sb = {
+            "scale": jnp.asarray(rng.uniform(0.5, 2, 5), jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=5), jnp.float32),
+        }
+        stats = {
+            "mean": jnp.asarray(rng.normal(size=5), jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.2, 3, 5), jnp.float32),
+        }
+
+        def tree(mod_vars):
+            name = "bn" if "bn" in mod_vars["params"] else None
+            p = {"bn": sb} if name else sb
+            s = {"bn": stats} if name else stats
+            return {"params": p, "batch_stats": s}
+
+        for train in (True, False):
+            y_ours, m_ours = ours_mod.apply(
+                tree(v_ours), x, train=train, mutable=["batch_stats"]
+            )
+            y_ref, m_ref = ref_mod.apply(
+                tree(v_ref), x, train=train, mutable=["batch_stats"]
+            )
+            np.testing.assert_allclose(
+                np.asarray(y_ours, np.float32),
+                np.asarray(y_ref, np.float32),
+                atol=0.05,  # bf16 output: reassociation can flip one ulp
+            )
+            # most outputs must be bit-identical (only boundary values move)
+            same = np.mean(
+                np.asarray(y_ours, np.float32)
+                == np.asarray(y_ref, np.float32)
+            )
+            assert same > 0.97
+            if train:
+                # EMA update formula is identical -> near-exact running stats
+                for k in ("mean", "var"):
+                    np.testing.assert_allclose(
+                        np.asarray(m_ours["batch_stats"][k]),
+                        np.asarray(m_ref["batch_stats"]["bn"][k]),
+                        rtol=1e-6,
+                    )
+
+    def test_phase_group_stats_pool_correctly(self):
+        """phase_groups=4: pooled statistics must equal the statistics of
+        the depth-to-space-interleaved tensor (each output pixel belongs to
+        exactly one phase), and the apply must match running BnAct on the
+        interleaved tensor then re-extracting phases."""
+        from volume_segmantics_tpu.models.layers import BnAct
+
+        rng = np.random.default_rng(12)
+        n, h, w, feat, g = 2, 5, 7, 3, 4
+        y4 = jnp.asarray(
+            (rng.normal(size=(n, h, w, g * feat)) * 2 - 0.5).astype(
+                np.float32
+            )
+        )
+        # interleave phases into the (n, 2h, 2w, feat) spatial tensor
+        y_full = (
+            y4.reshape(n, h, w, 2, 2, feat)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h, 2 * w, feat)
+        )
+        mod_p = BnAct(dtype=jnp.float32, phase_groups=g, name="bn")
+        mod_f = BnAct(dtype=jnp.float32, name="bn")
+        v_p = mod_p.init(jax.random.PRNGKey(0), y4, train=True)
+        v_f = mod_f.init(jax.random.PRNGKey(0), y_full, train=True)
+        assert v_p["params"]["scale"].shape == (feat,)
+        out_p, m_p = mod_p.apply(v_p, y4, train=True, mutable=["batch_stats"])
+        out_f, m_f = mod_f.apply(
+            v_f, y_full, train=True, mutable=["batch_stats"]
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(m_p["batch_stats"][k]),
+                np.asarray(m_f["batch_stats"][k]),
+                rtol=2e-5, atol=2e-6,
+            )
+        out_p_full = np.asarray(
+            out_p.reshape(n, h, w, 2, 2, feat)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h, 2 * w, feat)
+        )
+        np.testing.assert_allclose(
+            out_p_full, np.asarray(out_f), rtol=2e-4, atol=2e-5
+        )
+
+
+class TestUpsampleConvBnActNoSkip:
+    def test_phase_layout_bn_matches_materializing_path(self):
+        """UpsampleConvBnAct without a skip (phase-layout BN) must match
+        upsample -> conv -> BnAct on the materialized tensor."""
+        from flax import linen as nn
+
+        from volume_segmantics_tpu.models.layers import (
+            BnAct,
+            UpsampleConvBnAct,
+            upsample,
+        )
+        import jax.lax as lax
+
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(2, 6, 5, 4)).astype(np.float32))
+        mod = UpsampleConvBnAct(3, dtype=jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(1), x, train=True)
+        kernel = variables["params"]["conv"]["kernel"]
+        assert kernel.shape == (3, 3, 4, 3)
+        y, mut = mod.apply(variables, x, train=True, mutable=["batch_stats"])
+
+        up = upsample(x, 2, "nearest")
+        conv = lax.conv_general_dilated(
+            up, kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ref_bn = BnAct(act=nn.relu, dtype=jnp.float32, name="bn")
+        v_ref = {
+            "params": variables["params"]["bn"],
+            "batch_stats": variables["batch_stats"]["bn"],
+        }
+        y_ref, mut_ref = ref_bn.apply(
+            v_ref, conv, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-5
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut["batch_stats"]["bn"][k]),
+                np.asarray(mut_ref["batch_stats"][k]),
+                rtol=2e-5, atol=2e-6,
+            )

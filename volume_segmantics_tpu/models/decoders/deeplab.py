@@ -15,7 +15,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, resize_to
+from volume_segmantics_tpu.models.layers import BnAct, ConvBnAct, resize_to
 
 
 class SeparableConvBnRelu(nn.Module):
@@ -41,11 +41,9 @@ class SeparableConvBnRelu(nn.Module):
             self.features, (1, 1), use_bias=False, dtype=self.dtype,
             name="conv_pointwise",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
-        )(x)
-        return nn.relu(x).astype(self.dtype)
+        # BnAct == nn.BatchNorm -> relu -> cast bit-exactly (relu commutes
+        # with the dtype rounding), with bf16-only autodiff residuals.
+        return BnAct(act=nn.relu, dtype=self.dtype, name="bn")(x, train)
 
 
 class ASPP(nn.Module):

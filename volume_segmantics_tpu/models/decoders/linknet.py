@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct
+from volume_segmantics_tpu.models.layers import BnAct, ConvBnAct
 
 
 class TransposeX2(nn.Module):
@@ -30,14 +30,9 @@ class TransposeX2(nn.Module):
             dtype=self.dtype,
             name="convT",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
-        return nn.relu(x).astype(self.dtype)
+        # BnAct == nn.BatchNorm -> relu -> cast bit-exactly (relu commutes
+        # with the dtype rounding), with bf16-only autodiff residuals.
+        return BnAct(act=nn.relu, dtype=self.dtype, name="bn")(x, train)
 
 
 class LinknetDecoderBlock(nn.Module):

@@ -15,6 +15,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from volume_segmantics_tpu.models.layers import BnAct as _LayersBnAct
 from volume_segmantics_tpu.models.layers import SqueezeExcite
 
 
@@ -48,20 +49,18 @@ class _BnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            # timm uses 0.99 (torch 0.01), tuned for 100s-of-epoch ImageNet
-            # pretraining. In this toolkit's few-epoch fine-tuning regime
-            # running statistics must track quickly or eval-mode collapses
-            # when training from random init; 0.9 matches the other
-            # encoders and converged EfficientNet weights are unaffected.
+        # timm uses momentum 0.99 (torch 0.01), tuned for 100s-of-epoch
+        # ImageNet pretraining. In this toolkit's few-epoch fine-tuning
+        # regime running statistics must track quickly or eval-mode
+        # collapses when training from random init; 0.9 matches the other
+        # encoders and converged EfficientNet weights are unaffected.
+        return _LayersBnAct(
+            act=nn.silu if self.act else None,
             momentum=0.9,
             epsilon=1e-3,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             name="bn",
-        )(x)
-        x = x.astype(self.dtype)
-        return nn.silu(x) if self.act else x
+        )(x, train)
 
 
 class MBConv(nn.Module):

@@ -22,7 +22,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from volume_segmantics_tpu.models.layers import ConvBnAct, max_pool
+from volume_segmantics_tpu.models.layers import BnAct, ConvBnAct, max_pool
 
 
 class SplAtConv(nn.Module):
@@ -51,11 +51,9 @@ class SplAtConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn0",
-        )(h)
-        h = nn.relu(h).astype(self.dtype)
+        # BnAct == nn.BatchNorm -> relu -> cast bit-exactly (relu commutes
+        # with the dtype rounding), with bf16-only autodiff residuals.
+        h = BnAct(act=nn.relu, dtype=self.dtype, name="bn0")(h, train)
         n, hh, ww, _ = h.shape
         splits = h.reshape(n, hh, ww, r, c)
         gap = jnp.mean(splits.sum(axis=3), axis=(1, 2), keepdims=True)  # (n,1,1,c)
@@ -64,11 +62,7 @@ class SplAtConv(nn.Module):
             inter, (1, 1), feature_group_count=self.groups, dtype=self.dtype,
             name="conv_fc1",
         )(gap)
-        a = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
-        )(a)
-        a = nn.relu(a).astype(self.dtype)
+        a = BnAct(act=nn.relu, dtype=self.dtype, name="bn1")(a, train)
         a = nn.Conv(
             c * r, (1, 1), feature_group_count=self.groups, dtype=self.dtype,
             name="conv_fc2",

@@ -14,6 +14,7 @@ model/operations/vol_seg_2d_trainer.py:102-116).
 
 from typing import Any, Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -109,7 +110,9 @@ class StemConv(nn.Module):
         )
 
 
-def upsample2_conv3x3_phase(x, skip, kernel, dtype, bias=None):
+def upsample2_conv3x3_phase(
+    x, skip, kernel, dtype, bias=None, depth_to_space=True
+):
     """conv3x3_SAME(concat(up2_nearest(x), skip)) WITHOUT materializing the
     upsampled tensor or the concatenation (the decoder mirror of
     `space_to_depth_conv2d`).
@@ -137,6 +140,10 @@ def upsample2_conv3x3_phase(x, skip, kernel, dtype, bias=None):
         kernel: (3, 3, Cx+Cs, O) float32 HWIO weights.
         dtype: compute dtype for the convs.
         bias: optional (O,) bias.
+        depth_to_space: when False (requires skip=None), skip the final
+            interleave and return the raw phase tensor (N, h, w, 4*O) with
+            phase-major channels — callers can run elementwise work there
+            and interleave afterwards (see UpsampleConvBnAct).
     Returns (N, 2h, 2w, O) in `dtype`: exactly (to ~1 ulp) the SAME-padded
     3x3 conv over concat(up2(x), skip).
     """
@@ -162,6 +169,9 @@ def upsample2_conv3x3_phase(x, skip, kernel, dtype, bias=None):
         x.astype(dtype), k_all.astype(dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if not depth_to_space:
+        assert skip is None and bias is None
+        return y4
     y = y4.reshape(n, h, w, 2, 2, out).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(n, 2 * h, 2 * w, out)
     if skip is not None:
@@ -175,10 +185,105 @@ def upsample2_conv3x3_phase(x, skip, kernel, dtype, bias=None):
     return y
 
 
+class BnAct(nn.Module):
+    """BatchNorm -> activation with bf16-only residuals.
+
+    Numerically replicates flax ``nn.BatchNorm`` (f32 fast-variance batch
+    statistics with the negative-variance clip, momentum EMA of running
+    stats, the same f32 normalize op order, final cast to the compute
+    dtype) and creates the identical parameter/variable tree (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``), so checkpoints and
+    torch conversion are untouched.
+
+    The one behavioural difference is performance-only: the normalize is
+    computed in AFFINE form (see ``bn_apply_act``), so autodiff's saved
+    residual is the (bf16) input plus tiny per-channel vectors instead of
+    the full-resolution f32 ``(x - mean)`` intermediate that flax's op
+    order forces XLA to materialize for the backward pass — at batch 128
+    the decoder's f32[128,256,256,16] residuals alone are ~1 GB of HBM
+    traffic per step (profiled: the forward conv fusions emitted
+    (f32, bf16) output pairs and backward weight-gradient convs re-read
+    the f32 copies). A ``jax.checkpoint`` wrapper was tried first and
+    REGRESSED (65.8 -> 69.7 ms noaug step @ b128: rematerialization
+    showed up as extra elementwise fusions); the affine form measured
+    64.2 ms with no recompute at all.
+    """
+
+    act: Optional[Callable] = nn.relu
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    # >1: the channel axis holds `phase_groups` phase-major copies of the
+    # logical features (see UpsampleConvBnAct); statistics pool the groups
+    # and scale/bias/stats are tiled across them for the apply.
+    phase_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = self.phase_groups
+        feat = x.shape[-1] // g
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            mu2 = (xf * xf).mean(axes)
+            if g > 1:
+                mean = mean.reshape(g, feat).mean(0)
+                mu2 = mu2.reshape(g, feat).mean(0)
+            var = jnp.maximum(0.0, mu2 - mean * mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        if g > 1:
+            mean, var = jnp.tile(mean, g), jnp.tile(var, g)
+            scale, bias = jnp.tile(scale, g), jnp.tile(bias, g)
+        return bn_apply_act(
+            x, mean, var, scale, bias, self.epsilon, self.act, self.dtype
+        )
+
+
+def bn_apply_act(x, mean, var, scale, bias, epsilon, act, out_dtype):
+    """Elementwise BN-normalize + activation in affine form (see BnAct).
+
+    Computed as ``x*mul + (bias - mean*mul)`` instead of flax's
+    ``(x - mean)*mul + bias``: mathematically identical (f32 reassociation,
+    ~1 ulp), but the product's autodiff partials are the INPUTS (bf16 x and
+    the tiny per-channel mul) rather than the f32 intermediate (x - mean),
+    so no full-resolution f32 residual is saved for the backward pass.
+    """
+    mul = jax.lax.rsqrt(var + epsilon) * scale
+    y = x.astype(jnp.float32) * mul + (bias - mean * mul)
+    y = y.astype(out_dtype)
+    return y if act is None else act(y)
+
+
 class UpsampleConvBnAct(nn.Module):
     """Fused `up2_nearest -> concat skip -> conv3x3 -> BN -> act` decoder
     head with ConvBnAct's exact parameter structure (`conv/kernel` +
-    `bn/*`), computed through `upsample2_conv3x3_phase`."""
+    `bn/*`), computed through `upsample2_conv3x3_phase`.
+
+    When there is no skip, BN + activation run in the PHASE layout
+    (N, h, w, 4*O) emitted by the phase conv — batch statistics pool the
+    four phase groups (identical values up to f32 reassociation, since
+    every output pixel belongs to exactly one phase) and scale/bias are
+    tiled 4x — so the depth-to-space interleave copies the final bf16
+    activations instead of a pre-BN f32 tensor (profiled at 2x the bytes
+    and ~1.6 ms/step for the full-resolution decoder block at batch 128).
+    """
 
     features: int
     act: Optional[Callable] = nn.relu
@@ -188,18 +293,19 @@ class UpsampleConvBnAct(nn.Module):
     def __call__(self, x, skip=None, train: bool = False):
         cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         kernel = _Conv3x3Params(self.features, cin, name="conv")()
-        y = upsample2_conv3x3_phase(x, skip, kernel, self.dtype)
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(y)
-        y = y.astype(self.dtype)
-        if self.act is not None:
-            y = self.act(y)
-        return y
+        if skip is not None:
+            y = upsample2_conv3x3_phase(x, skip, kernel, self.dtype)
+            return BnAct(act=self.act, dtype=self.dtype, name="bn")(y, train)
+        n, h, w, _ = x.shape
+        out = self.features
+        y4 = upsample2_conv3x3_phase(
+            x, None, kernel, self.dtype, depth_to_space=False
+        )  # (N, h, w, 4*O), phase-major channels
+        y4 = BnAct(act=self.act, dtype=self.dtype, phase_groups=4, name="bn")(
+            y4, train
+        )
+        y = y4.reshape(n, h, w, 2, 2, out).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(n, 2 * h, 2 * w, out)
 
 
 class _Conv3x3Params(nn.Module):
@@ -270,14 +376,7 @@ class ConvBnAct(nn.Module):
                 name="conv",
             )(x)
         if self.use_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name="bn",
-            )(x)
-            x = x.astype(self.dtype)
+            return BnAct(act=self.act, dtype=self.dtype, name="bn")(x, train)
         if self.act is not None:
             x = self.act(x)
         return x
