@@ -51,6 +51,55 @@ def test_probe_backend_reports_failure():
     assert reason
 
 
+def test_bench_deadline_watchdog_emits_json_and_exits_zero():
+    """A wedged measurement stage (e.g. a fully stalled device->host
+    transfer, which has no in-process timeout) must not break the
+    one-JSON-line contract: the deadline watchdog reports whatever was
+    measured and force-exits 0."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "VOLSEG_BENCH_PROBE_ATTEMPTS": "1",
+            "VOLSEG_BENCH_PROBE_TIMEOUT": "120",
+            "VOLSEG_BENCH_DEADLINE": "1",
+        }
+    )
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert "error" in rec and "deadline" in rec["error"]
+    assert isinstance(rec["extra"], dict)
+
+
+def test_best_time_budget_caps_runs():
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    calls = []
+
+    def fake():
+        import time as _t
+
+        calls.append(1)
+        _t.sleep(0.05)
+
+    bench._best_time(fake, n=50, budget_s=0.12)
+    # 3 runs agree within 10% -> early stop dominates; force disagreement
+    assert len(calls) <= 4
+
+
 def test_bench_emits_json_error_line_and_exits_zero():
     r = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

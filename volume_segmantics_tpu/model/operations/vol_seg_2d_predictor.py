@@ -728,10 +728,13 @@ class VolSeg2dPredictor:
             labels = _pack_u8_trace(labels, pack_bits)
         return (labels, probs) if want_probs else (labels,)
 
-    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
-        """12-way TTA via the 8 distinct sweeps (bit-identical to the
-        reference's 12, see block comment above): slab-pipelined z sweeps +
-        fused y-pair and x-quad programs + one fused merge/pack program."""
+    def _predict_12_ways_device(self, data_vol, output_probs=True):
+        """The device half of `_predict_12_ways_max_probs`: run the 8
+        distinct sweeps and the fused merge/pack program, returning DEVICE
+        arrays (bit-packed labels + optional float16 probs) and the volume
+        shape. No device->host transfer happens beyond the input upload, so
+        callers chaining further device work (and the bench's
+        transfer-independent compute metric) avoid the host link entirely."""
         logging.info(
             f"Predicting 12 ways (8 distinct sweeps) for volume "
             f"{tuple(np.shape(data_vol))}."
@@ -760,9 +763,17 @@ class VolSeg2dPredictor:
         flat_args = [a for part in z_parts for a in part] + list(y_out) + list(
             x_out
         )
-        out = fn(*flat_args)
+        return fn(*flat_args), vol_dev.shape
+
+    def _predict_12_ways_max_probs(self, data_vol, output_probs=True):
+        """12-way TTA via the 8 distinct sweeps (bit-identical to the
+        reference's 12, see block comment above): slab-pipelined z sweeps +
+        fused y-pair and x-quad programs + one fused merge/pack program,
+        then the packed-label (and optional probs) download."""
+        out, vol_shape = self._predict_12_ways_device(data_vol, output_probs)
+        bits = self._label_bits()
         if bits:
-            labels = _unpack_u8_host(np.asarray(out[0]), bits, vol_dev.shape[-1])
+            labels = _unpack_u8_host(np.asarray(out[0]), bits, vol_shape[-1])
         else:
             labels = np.asarray(out[0])
         return labels, (np.asarray(out[1]) if output_probs else None)
