@@ -1,13 +1,13 @@
 """Capture a jax.profiler trace of the fused/noaug train step and print the
-top self-time HLO ops (via tensorboard_plugin_profile's raw-to-tool
-converter). Complements tools/profile_train.py's stage wall-clocks with an
-op-level view of where the model-only milliseconds go.
+top self-time HLO ops (via tools/xplane_ops.py's raw protobuf parser — the
+tensorboard_plugin_profile converters fail to import in this image).
+Complements tools/profile_train.py's stage wall-clocks with an op-level
+view of where the model-only milliseconds go.
 
 Usage: python tools/trace_ops.py [batch] [--aug] [arch] [encoder]
 """
 
 import glob
-import json
 import sys
 import tempfile
 from pathlib import Path
@@ -86,29 +86,14 @@ def main():
     if not xplane:
         print("no xplane captured under", logdir)
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    import subprocess
 
-    data, _ = rtd.xspace_to_tool_data(xplane, "framework_op_stats", {})
-    # data is a gviz JSON string for op stats table
-    try:
-        table = json.loads(data)
-        cols = [c["label"] for c in table["cols"]]
-        rows = [[c["v"] for c in r["c"]] for r in table["rows"]]
-    except Exception:
-        print(str(data)[:2000])
-        return
-    i_name = cols.index("Operation") if "Operation" in cols else 0
-    # find self-time column
-    cand = [i for i, c in enumerate(cols) if "self" in c.lower() and "time" in c.lower()]
-    i_self = cand[0] if cand else 2
-    print("columns:", cols)
-    rows.sort(key=lambda r: -(r[i_self] or 0))
-    total = sum(r[i_self] or 0 for r in rows)
-    print(f"\ntop ops by self time (total {total/1e6:.2f} s over 10 steps):")
-    acc = 0.0
-    for r in rows[:40]:
-        acc += r[i_self] or 0
-        print(f"  {(r[i_self] or 0)/1e4/10:8.3f} ms/step {100*acc/total:5.1f}%cum  {str(r[i_name])[:110]}")
+    print(xplane[0])
+    subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "xplane_ops.py"),
+         xplane[0], "10", "40"],
+        check=False,
+    )
 
 
 if __name__ == "__main__":
