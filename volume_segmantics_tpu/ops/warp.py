@@ -171,17 +171,22 @@ def _warp_kernel_body(S: int, R: int, sep_enabled: bool):
             rows1 = (jax.lax.dot_general(img, oh1, dn00,
                                          preferred_element_type=jnp.int32)
                      + 128).astype(jnp.float32)
-            rowsm = (jax.lax.dot_general(msk, ohm, dn00,
-                                         preferred_element_type=jnp.int32)
-                     + 128).astype(jnp.float32)
-            wsel = jnp.where(x0r == sub, 1.0 - wx, 0.0) + jnp.where(
-                x1r == sub, wx, 0.0
-            )
+            rowsm_i = jax.lax.dot_general(msk, ohm, dn00,
+                                          preferred_element_type=jnp.int32)
+            # x0r != x1r always (reflect-101 is injective on consecutive
+            # indices), so the two one-hot weight terms are exclusive and a
+            # nested select equals the old where(...)+where(...) sum while
+            # saving one (S, P_BLK) VPU add pass.
+            wsel = jnp.where(x0r == sub, 1.0 - wx,
+                             jnp.where(x1r == sub, wx, 0.0))
             top = jnp.sum(rows0 * wsel, axis=0, keepdims=True)
             bot = jnp.sum(rows1 * wsel, axis=0, keepdims=True)
             img_out = top * (1.0 - wy) + bot * wy
-            mval = jnp.sum(jnp.where(xm == sub, rowsm, 0.0), axis=0,
-                           keepdims=True)
+            # Mask column pick stays in int32: exactly one selected term per
+            # column, so the +128 shift-back moves to the (1, P_BLK) result
+            # and the big-array int32->f32 convert disappears.
+            mval = (jnp.sum(jnp.where(xm == sub, rowsm_i, 0), axis=0,
+                            keepdims=True) + 128).astype(jnp.float32)
             out_ref[0, 0] = jnp.concatenate([img_out, mval], axis=0)
 
         if not sep_enabled:
