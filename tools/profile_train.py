@@ -48,6 +48,22 @@ def _time(fn, *args, iters=20, warmup=3):
     return best
 
 
+def _record(results, batch, name, fn, *args, **kw):
+    """Measure and print IMMEDIATELY (flushed): over the tunneled backend a
+    cold compile can cost minutes per stage, and a deadline/timeout must not
+    discard the stages already measured (observed: a 590 s timeout ate a
+    whole profiling run whose first stages had long finished)."""
+    t0 = time.perf_counter()
+    v = _time(fn, *args, **kw)
+    results[name] = v
+    print(
+        f"  {name:14s} {v * 1e3:8.2f} ms  ({batch / v:8.1f} slices/s)"
+        f"   [stage took {time.perf_counter() - t0:.0f}s incl compile]",
+        flush=True,
+    )
+    return v
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     arch = sys.argv[2] if len(sys.argv) > 2 else "U_Net"
@@ -79,6 +95,8 @@ def main():
     msks = jnp.asarray(rng.integers(0, num_labels, (batch, size, size), dtype=np.uint8))
     key = jax.random.PRNGKey(1)
 
+    print(f"\narch={arch} encoder={encoder} batch={batch} size={size} (bf16)",
+          flush=True)
     results = {}
     for name, augment in (("full_step", True), ("noaug_step", False)):
         step = build_dp_train_step(
@@ -96,10 +114,11 @@ def main():
             )
             return loss
 
-        results[name] = _time(looped)
+        _record(results, batch, name, looped)
 
     # --- augmentation program + its stages in isolation -------------------
-    results["augment_only"] = _time(
+    _record(
+        results, batch, "augment_only",
         jax.jit(lambda k, i, m: aug.augment_batch_u8(k, i, m, size)),
         key, imgs, msks,
     )
@@ -111,24 +130,19 @@ def main():
 
     coords = jax.jit(coords_only, static_argnums=1)(key, batch)
     jax.block_until_ready(coords)
-    results["coords_only"] = _time(
-        jax.jit(coords_only, static_argnums=1), key, batch
-    )
+    _record(results, batch, "coords_only",
+            jax.jit(coords_only, static_argnums=1), key, batch)
     if jax.default_backend() == "tpu":
-        results["warp_mxu"] = _time(
-            jax.jit(warp_batch_u8_mxu), imgs, msks, coords
-        )
-        results["warp_gather"] = _time(
-            jax.jit(jax.vmap(warp_pair_u8)), imgs, msks, coords
-        )
+        _record(results, batch, "warp_mxu",
+                jax.jit(warp_batch_u8_mxu), imgs, msks, coords)
+        _record(results, batch, "warp_gather",
+                jax.jit(jax.vmap(warp_pair_u8)), imgs, msks, coords)
     imgs_f = imgs.astype(jnp.float32) / 255.0
-    results["clahe_only"] = _time(
-        jax.jit(jax.vmap(lambda im: clahe(im, 2.0))), imgs_f
-    )
+    _record(results, batch, "clahe_only",
+            jax.jit(jax.vmap(lambda im: clahe(im, 2.0))), imgs_f)
     keys_b = jax.random.split(key, batch)
-    results["intensity"] = _time(
-        jax.jit(jax.vmap(aug._intensity)), keys_b, imgs_f
-    )
+    _record(results, batch, "intensity",
+            jax.jit(jax.vmap(aug._intensity)), keys_b, imgs_f)
 
     flops_fwd = None
     try:
@@ -143,9 +157,6 @@ def main():
     except Exception as e:
         print("cost analysis failed:", e)
 
-    print(f"\narch={arch} encoder={encoder} batch={batch} size={size} (bf16)")
-    for k, v in results.items():
-        print(f"  {k:14s} {v*1e3:8.2f} ms  ({batch/v:8.1f} slices/s)")
     tax = results["full_step"] - results["noaug_step"]
     print(f"  aug tax        {tax*1e3:8.2f} ms ({100*tax/results['full_step']:.1f}% of full step)")
     if flops_fwd:
