@@ -40,6 +40,43 @@ import numpy as np
 
 logging.basicConfig(level=logging.WARNING)
 
+# Liveness tracking for the in-process stall watchdog: every stage-progress
+# stderr print and every package log record bumps the timestamp. A wedged
+# tunnel RPC (observed: a train-step compile request that never returned
+# while a fresh client compiled the same program in 13 s) makes NO progress
+# for the rest of the run; the watchdog converts that from a silent
+# full-deadline burn into a prompt partial report + a fresh-process retry.
+_PROGRESS = {"t": time.time()}
+
+
+class _LivenessStderr:
+    """Proxy for sys.stderr: any Python-side stderr write (the `#` stage
+    notes throughout this script) counts as liveness. Installed by the inner
+    run only; logging handlers hold the original stream object, so package
+    logs are tracked separately by `_ProgressLogHandler`."""
+
+    def __init__(self, base):
+        self._base = base
+
+    def write(self, s):
+        if s.strip():
+            _PROGRESS["t"] = time.time()
+        return self._base.write(s)
+
+    def flush(self):
+        return self._base.flush()
+
+    def __getattr__(self, attr):  # pragma: no cover - passthrough
+        return getattr(self._base, attr)
+
+
+class _ProgressLogHandler(logging.Handler):
+    """Counts any package/trainer log record (e.g. the per-epoch INFO lines
+    during the tutorial-Dice stage) as liveness."""
+
+    def emit(self, record):  # pragma: no cover - trivial
+        _PROGRESS["t"] = time.time()
+
 TARGET_SECONDS = 10.0
 CACHE_DIR = Path("/root/.cache/volseg_bench")
 
@@ -556,7 +593,7 @@ def run_bench(extra, box=None):
     return elapsed256
 
 
-def main():
+def _inner_main():
     extra = {}
     platform, kind_or_reason = probe_backend()
     if platform is None:
@@ -570,14 +607,23 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# configure_platform failed: {e}", file=sys.stderr)
 
-    # Deadline watchdog: the measurement stages run in a daemon thread; if
-    # any of them wedges (a fully stalled device->host transfer has no
-    # in-process timeout — observed on the shared tunnel), the main thread
-    # still prints the one JSON line with everything measured so far and
-    # force-exits 0. Stuck daemon threads die with the process.
+    # Deadline + stall watchdog: the measurement stages run in a daemon
+    # thread; if any of them wedges (a fully stalled device<->host transfer
+    # or compile RPC has no in-process timeout — both observed on the
+    # shared tunnel), the main thread still prints the one JSON line with
+    # everything measured so far and force-exits 0. The STALL clause fires
+    # long before the deadline when no stage makes progress (no stderr
+    # note, no package log record, no new `extra` entry), so the
+    # supervising process has budget left to retry in a fresh process.
+    # Stuck daemon threads die with the process.
     import threading
 
     deadline = float(os.environ.get("VOLSEG_BENCH_DEADLINE", 3300))
+    stall_s = float(os.environ.get("VOLSEG_BENCH_STALL", 1200))
+    sys.stderr = _LivenessStderr(sys.stderr)
+    logging.getLogger().addHandler(_ProgressLogHandler())
+    # Per-epoch trainer INFO lines double as tutorial-stage liveness.
+    logging.getLogger().setLevel(logging.INFO)
     box = {}
 
     def work():
@@ -589,15 +635,37 @@ def main():
             traceback.print_exc(file=sys.stderr)
             box["error"] = f"{type(e).__name__}: {str(e)[:400]}"
 
+    def progress_count():
+        return len(extra) + len(box)
+
+    _PROGRESS["t"] = time.time()
+    start = time.time()
     th = threading.Thread(target=work, daemon=True)
     th.start()
-    th.join(deadline)
+    last_count = progress_count()
+    timeout_error = None
+    while th.is_alive():
+        th.join(min(5.0, deadline))
+        if not th.is_alive():
+            break
+        now = time.time()
+        if progress_count() != last_count:
+            last_count = progress_count()
+            _PROGRESS["t"] = now
+        if now - start > deadline:
+            timeout_error = f"bench-deadline-exceeded: {deadline:.0f}s"
+            break
+        if now - _PROGRESS["t"] > stall_s:
+            timeout_error = (
+                f"bench-stalled: no stage progress in {stall_s:.0f}s "
+                "(wedged backend RPC?)"
+            )
+            break
     headline = box.get("headline")
-    if th.is_alive():
+    if timeout_error and th.is_alive():
         _emit(
-            round(headline, 3) if headline else None,
-            extra,
-            error=f"bench-deadline-exceeded: {deadline:.0f}s",
+            round(headline, 3) if headline else None, extra,
+            error=timeout_error,
         )
         sys.stdout.flush()
         sys.stderr.flush()
@@ -607,6 +675,91 @@ def main():
     else:
         _emit(round(headline, 3) if headline else None, extra,
               error=box.get("error"))
+
+
+def _parse_record(stdout_text):
+    """Last parseable JSON line of a child's stdout, or None."""
+    for ln in reversed((stdout_text or "").strip().splitlines()):
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            return json.loads(ln)
+        except Exception:
+            continue
+    return None
+
+
+def main():
+    """Supervisor: run the measurement in a CHILD process and retry once in
+    a fresh process when it produced no headline (backend-unavailable,
+    stalled on a wedged RPC, crashed, or had to be killed). A wedged tunnel
+    RPC poisons the whole JAX runtime of its process, but a fresh client
+    connects fine (observed) — so the retry is a real second chance, not a
+    repeat of the same hang. Prints EXACTLY one JSON line and exits 0;
+    `extra` metrics from a failed first attempt are merged into the final
+    record so partial evidence is never discarded."""
+    if os.environ.get("VOLSEG_BENCH_INNER") == "1":
+        return _inner_main()
+    total = float(os.environ.get("VOLSEG_BENCH_DEADLINE", 3300))
+    attempts = int(os.environ.get("VOLSEG_BENCH_ATTEMPTS", 2))
+    start = time.time()
+    merged_extra = {}
+    last_rec = None
+    last_reason = "no-attempt-ran"
+    try:
+        for i in range(attempts):
+            remaining = total - (time.time() - start)
+            if i > 0 and remaining < 60:
+                break  # not enough budget for a meaningful retry
+            env = {
+                **os.environ,
+                "VOLSEG_BENCH_INNER": "1",
+                "VOLSEG_BENCH_DEADLINE": str(max(remaining - 30.0, 1.0)),
+            }
+            print(
+                f"# bench attempt {i + 1}/{attempts} "
+                f"(budget {max(remaining - 30.0, 1.0):.0f}s)",
+                file=sys.stderr,
+            )
+            out = None
+            try:
+                r = subprocess.run(
+                    [sys.executable, str(Path(__file__).resolve())],
+                    stdout=subprocess.PIPE,
+                    text=True,
+                    timeout=max(remaining + 60.0, 90.0),
+                    env=env,
+                    cwd=str(Path(__file__).resolve().parent),
+                )
+                out = r.stdout
+            except subprocess.TimeoutExpired as e:
+                # Child's own watchdog failed to fire — salvage any output.
+                out = e.stdout
+                if isinstance(out, bytes):
+                    out = out.decode(errors="replace")
+                last_reason = "attempt-killed: child exceeded hard timeout"
+            rec = _parse_record(out)
+            if rec is None:
+                last_reason = (
+                    last_reason
+                    if "killed" in last_reason
+                    else "attempt-produced-no-record"
+                )
+                continue
+            if isinstance(rec.get("extra"), dict):
+                merged_extra.update(rec["extra"])
+            last_rec = rec
+            if rec.get("value") is not None or not rec.get("error"):
+                break  # success — no retry needed
+            last_reason = str(rec.get("error"))
+    except Exception as e:  # pragma: no cover - supervisor must never raise
+        last_reason = f"supervisor-error: {type(e).__name__}: {str(e)[:200]}"
+    if last_rec is not None:
+        last_rec["extra"] = merged_extra
+        print(json.dumps(last_rec))
+    else:
+        _emit(None, merged_extra, error=last_reason)
 
 
 if __name__ == "__main__":
