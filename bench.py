@@ -15,9 +15,18 @@ wall-clock; Dice parity". This script measures, on the attached device:
    backward + AdamW) at perf batch 32 and the reference's parity batch 12,
    plus `train_mfu_pct` (model-FLOPs utilisation: 3x forward FLOPs from the
    compiled forward's XLA cost analysis over the device's peak bf16 rate).
-4. `tutorial_dice` — end-to-end training on the synthetic vessels volume
-   (tools/make_tutorial_data.py) followed by 12-way prediction, scored as
-   binary Dice against the ground-truth labels.
+4. `tutorial_dice` + `tutorial_train_wallclock_s_{parity,throughput}` —
+   end-to-end training on the synthetic vessels volume
+   (tools/make_tutorial_data.py) with the REFERENCE default schedule
+   (8 frozen + 5 unfrozen epochs, patience 3) in both performance
+   profiles, each followed by 12-way prediction scored as binary Dice
+   against the ground-truth labels.
+5. `train_slices_per_sec_chip_frozen_b128` / `train_frozen_speedup_b128`
+   — the frozen-phase step (encoder backward DCE'd via the zero freeze
+   mask) vs the unfrozen step.
+6. `predict_768cube_stream_*` — beyond-HBM slab-streaming predictor on a
+   768^3 volume with before/after peak-device-memory evidence of the
+   constant footprint.
 
 Robustness contract (VERDICT r3 #1): this script ALWAYS prints exactly one
 JSON line and exits 0. Backend initialisation runs first in a SUBPROCESS
@@ -277,12 +286,19 @@ def _wait_quiet_tunnel(extra, min_down_mbps=10.0, attempts=8, wait_s=40):
     )
 
 
-def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
+def measure_train_slices_per_sec(steps=30, batch=12, image_size=256,
+                                 frozen=False):
     """Fused DP train step throughput (augmentation on), like the trainer
     runs it: async dispatch, one sync at the end. Returns
     (slices_per_sec, model_flops_per_slice) where the FLOPs figure is
     3x the compiled forward's XLA cost-analysis FLOPs (fwd + ~2x for bwd),
-    the standard MFU numerator."""
+    the standard MFU numerator.
+
+    `frozen=True` uses the trainer's real frozen-phase mask (encoder conv
+    kernels zeroed, reference trainer :102-116 semantics): the zero
+    multipliers are trace-time constants, so XLA dead-code-eliminates the
+    encoder backward — the measured speedup over the unfrozen step is the
+    evidence for that design claim (VERDICT r4 #3)."""
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
@@ -303,11 +319,15 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
         "in_channels": 1,
         "classes": 2,
     }
+    from volume_segmantics_tpu.model.operations.vol_seg_2d_trainer import (
+        _freeze_mask,
+    )
+
     bundle = create_model_on_device(0, struc, dtype=jnp.bfloat16)
     loss_fn = get_loss_fn(SimpleNamespace(loss_criterion="BCEDiceLoss",
                                           alpha=0.75, beta=0.25))
     tx = make_base_optimizer(weight_decay=0.01)
-    mask = jax.tree_util.tree_map(lambda _: 1.0, bundle.params)
+    mask = _freeze_mask(bundle.params, frozen=frozen)
     opt_state = tx.init(bundle.params)
     mesh = get_mesh()
     step = build_dp_train_step(
@@ -357,8 +377,17 @@ def measure_train_slices_per_sec(steps=30, batch=12, image_size=256):
     return best, flops_per_slice
 
 
-def train_tutorial_and_dice(data, labels, workdir: Path):
-    """Train on the synthetic vessels volume and return (dice, model_path)."""
+def train_tutorial_and_dice(data, labels, workdir: Path, profile="parity"):
+    """Train on the synthetic vessels volume with the REFERENCE default
+    schedule (8 frozen + 5 unfrozen epochs, patience 3 — the shipped
+    2d_model_train_settings.yaml, matching reference volseg-settings/
+    2d_model_train_settings.yaml:16-18) and return
+    (dice, train_wallclock_s, model_path).
+
+    `profile` is the `performance_profile` settings key: "parity" trains at
+    the reference's batch 12, "throughput" at the measured MXU-optimal
+    batch. The wall-clock covers the user-facing training cost end to end:
+    volume slicing, both LR-finder sweeps, and both training phases."""
     import volume_segmantics_tpu.utils.base_data_utils as utils
     from volume_segmantics_tpu.data import TrainingDataSlicer, get_settings_data
     from volume_segmantics_tpu.model import (
@@ -369,19 +398,23 @@ def train_tutorial_and_dice(data, labels, workdir: Path):
     settings = get_settings_data(
         Path(__file__).parent / "volseg-settings" / "2d_model_train_settings.yaml"
     )
-    # Short schedule keeps the whole bench under the driver budget; the
-    # synthetic vessels task converges in a handful of epochs.
-    settings.num_cyc_frozen = 0
-    settings.num_cyc_unfrozen = 6
-    settings.patience = 3
     settings.slice_to_disk = False
+    settings.performance_profile = profile
     settings.model = {"type": "U_Net", "encoder_name": "resnet34",
                       "encoder_weights": None}
+    frozen_epochs = int(settings.num_cyc_frozen)
+    unfrozen_epochs = int(settings.num_cyc_unfrozen)
+    t0 = time.perf_counter()
     slicer = TrainingDataSlicer(data, labels, settings)
     trainer = VolSeg2dTrainer.from_slicer(slicer, slicer.num_seg_classes, settings)
-    model_path = workdir / "bench_tutorial_model.pytorch"
-    trainer.train_model(model_path, settings.num_cyc_unfrozen,
-                        settings.patience, create=True, frozen=False)
+    model_path = workdir / f"bench_tutorial_model_{profile}.pytorch"
+    if frozen_epochs:
+        trainer.train_model(model_path, frozen_epochs, settings.patience,
+                            create=True, frozen=True)
+    if unfrozen_epochs:
+        trainer.train_model(model_path, unfrozen_epochs, settings.patience,
+                            create=frozen_epochs == 0, frozen=False)
+    train_wallclock = time.perf_counter() - t0
 
     pred_settings = get_settings_data(
         Path(__file__).parent / "volseg-settings" / "2d_model_predict_settings.yaml"
@@ -396,7 +429,7 @@ def train_tutorial_and_dice(data, labels, workdir: Path):
     pred_bin = (np.asarray(prediction) > 0).astype(np.uint8)
     inter = float((gt & pred_bin).sum())
     dice = 2 * inter / float(gt.sum() + pred_bin.sum())
-    return dice, model_path
+    return dice, train_wallclock, model_path
 
 
 def run_bench(extra, box=None):
@@ -435,13 +468,19 @@ def run_bench(extra, box=None):
     print("# measuring train step throughput...", file=sys.stderr)
     peak = _peak_flops(device_kind) if platform == "tpu" else None
     flops_per_slice = None
-    for key, mfu_key, batch, steps in (
-        ("train_slices_per_sec_chip", "train_mfu_pct", 32, 30),
-        ("train_slices_per_sec_chip_b12", None, 12, 30),
-        ("train_slices_per_sec_chip_b128", "train_mfu_pct_b128", 128, 12),
+    for key, mfu_key, batch, steps, frozen in (
+        ("train_slices_per_sec_chip", "train_mfu_pct", 32, 30, False),
+        ("train_slices_per_sec_chip_b12", None, 12, 30, False),
+        ("train_slices_per_sec_chip_b128", "train_mfu_pct_b128", 128, 12,
+         False),
+        # Frozen-phase step (encoder backward DCE'd by the zero freeze
+        # mask): the reference default schedule spends 8 of 13 epochs here
+        # (reference volseg-settings/2d_model_train_settings.yaml:16-17).
+        ("train_slices_per_sec_chip_frozen_b128", None, 128, 12, True),
     ):
         try:
-            sps, fps = measure_train_slices_per_sec(batch=batch, steps=steps)
+            sps, fps = measure_train_slices_per_sec(batch=batch, steps=steps,
+                                                    frozen=frozen)
             extra[key] = round(sps, 1)
             flops_per_slice = flops_per_slice or fps
             if flops_per_slice:
@@ -462,6 +501,21 @@ def run_bench(extra, box=None):
         except Exception as e:  # pragma: no cover - protect the headline
             print(f"# train stage b{batch} failed: {e}", file=sys.stderr)
             extra[key] = None
+    if extra.get("train_slices_per_sec_chip_frozen_b128") and extra.get(
+        "train_slices_per_sec_chip_b128"
+    ):
+        # >1 means the freeze-mask really eliminated the encoder backward
+        # (documented with the measured figure in docs/DESIGN.md).
+        extra["train_frozen_speedup_b128"] = round(
+            extra["train_slices_per_sec_chip_frozen_b128"]
+            / extra["train_slices_per_sec_chip_b128"],
+            3,
+        )
+        print(
+            f"# frozen-phase speedup (b128): "
+            f"{extra['train_frozen_speedup_b128']}x",
+            file=sys.stderr,
+        )
 
     # --- Predict wall-clocks ------------------------------------------------
     struc = {
@@ -578,44 +632,106 @@ def run_bench(extra, box=None):
             print(f"# 512^3 stage failed: {e}", file=sys.stderr)
             extra.setdefault("predict_512cube_12way_wallclock_s", None)
 
-    # --- Tutorial Dice --------------------------------------------------
-    print("# training on synthetic vessels tutorial volume...", file=sys.stderr)
-    data, gt_labels = _tutorial_volumes(256)
-    with tempfile.TemporaryDirectory() as td:
+        # --- Beyond-HBM streaming predictor on chip (VERDICT r4 #5) -----
+        # 768^3 (1.7x the 512^3 in-memory run's voxels) through
+        # VolSegLargeVolPredictor: input slabs stream up, labels stream
+        # down, device memory stays slab-bounded. Evidence of the constant
+        # footprint: the process-wide peak device memory does NOT rise
+        # above the peak already set by the 512^3 IN-MEMORY stage even
+        # though the volume is 1.7x larger. LOW quality (single z sweep,
+        # no probs) bounds the ~35 MB/s tunnel time.
         try:
-            dice, _ = train_tutorial_and_dice(data, gt_labels, Path(td))
-            extra["tutorial_dice"] = round(dice, 4)
-            print(f"# tutorial 12-way dice: {dice:.4f}", file=sys.stderr)
+            from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
+                VolSegLargeVolPredictor,
+            )
+
+            def _peak_mb():
+                stats = jax.devices()[0].memory_stats() or {}
+                pk = stats.get("peak_bytes_in_use")
+                return round(pk / 1e6, 1) if pk else None
+
+            vol768 = rng.integers(0, 255, (768,) * 3, dtype=np.uint8)
+            large = VolSegLargeVolPredictor(
+                predictor, workdir=Path(td) / "stream768", slab_size=64
+            )
+            peak_before = _peak_mb()
+            print("# warm-up (compile) 768^3 streaming...", file=sys.stderr)
+            large.predict_single_axis(vol768, output_probs=False)
+            extra["predict_768cube_stream_wallclock_s"] = round(
+                _best_time(
+                    lambda: large.predict_single_axis(
+                        vol768, output_probs=False
+                    ),
+                    n=2,
+                    budget_s=120.0,
+                ),
+                3,
+            )
+            peak_after = _peak_mb()
+            extra["predict_768cube_stream_peak_device_mb_before"] = peak_before
+            extra["predict_768cube_stream_peak_device_mb"] = peak_after
+            print(
+                f"# 768^3 streaming (LOW, z): "
+                f"{extra['predict_768cube_stream_wallclock_s']}s, "
+                f"peak device mem {peak_before} -> {peak_after} MB",
+                file=sys.stderr,
+            )
+            del large, vol768
         except Exception as e:  # pragma: no cover
-            print(f"# tutorial training failed: {e}", file=sys.stderr)
-            extra["tutorial_dice"] = None
+            print(f"# 768^3 streaming stage failed: {e}", file=sys.stderr)
+            extra.setdefault("predict_768cube_stream_wallclock_s", None)
+
+    # --- Tutorial train wall-clock + Dice (VERDICT r4 #4) ----------------
+    # The user-facing headline cost: the reference default two-phase
+    # schedule end-to-end, in both performance profiles, each followed by a
+    # 12-way HIGH-quality predict scored against the ground truth.
+    data, gt_labels = _tutorial_volumes(256)
+    for profile, dice_key, wc_key in (
+        ("parity", "tutorial_dice", "tutorial_train_wallclock_s_parity"),
+        ("throughput", "tutorial_dice_throughput",
+         "tutorial_train_wallclock_s_throughput"),
+    ):
+        print(
+            f"# training on synthetic vessels tutorial volume "
+            f"[{profile}]...",
+            file=sys.stderr,
+        )
+        with tempfile.TemporaryDirectory() as td:
+            try:
+                dice, wallclock, _ = train_tutorial_and_dice(
+                    data, gt_labels, Path(td), profile=profile
+                )
+                extra[dice_key] = round(dice, 4)
+                extra[wc_key] = round(wallclock, 1)
+                print(
+                    f"# tutorial [{profile}]: train {wallclock:.1f}s, "
+                    f"12-way dice {dice:.4f}",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"# tutorial [{profile}] failed: {e}", file=sys.stderr)
+                extra.setdefault(dice_key, None)
+                extra.setdefault(wc_key, None)
 
     return elapsed256
 
 
 def _inner_main():
     extra = {}
-    platform, kind_or_reason = probe_backend()
-    if platform is None:
-        _emit(None, extra, error=f"backend-unavailable: {kind_or_reason}")
-        return
 
-    try:
-        from volume_segmantics_tpu.utils.device import configure_platform
-
-        configure_platform()
-    except Exception as e:  # pragma: no cover
-        print(f"# configure_platform failed: {e}", file=sys.stderr)
-
-    # Deadline + stall watchdog: the measurement stages run in a daemon
-    # thread; if any of them wedges (a fully stalled device<->host transfer
-    # or compile RPC has no in-process timeout — both observed on the
-    # shared tunnel), the main thread still prints the one JSON line with
-    # everything measured so far and force-exits 0. The STALL clause fires
-    # long before the deadline when no stage makes progress (no stderr
-    # note, no package log record, no new `extra` entry), so the
-    # supervising process has budget left to retry in a fresh process.
-    # Stuck daemon threads die with the process.
+    # Deadline + stall watchdog: EVERYTHING — including the backend probe —
+    # runs in a daemon thread; if any of it wedges (a fully stalled
+    # device<->host transfer or compile RPC has no in-process timeout —
+    # both observed on the shared tunnel), the main thread still prints the
+    # one JSON line with everything measured so far and force-exits 0.
+    # Probe time counting against the deadline keeps the child's lifetime
+    # within the supervisor's hard timeout (ADVICE r4: a slow-but-
+    # successful probe must never let the supervisor SIGKILL the child
+    # before the child's own watchdog has reported partial results). The
+    # STALL clause fires long before the deadline when no stage makes
+    # progress (no stderr note, no package log record, no new `extra`
+    # entry), so the supervising process has budget left to retry in a
+    # fresh process. Stuck daemon threads die with the process.
     import threading
 
     deadline = float(os.environ.get("VOLSEG_BENCH_DEADLINE", 3300))
@@ -627,6 +743,16 @@ def _inner_main():
     box = {}
 
     def work():
+        platform, kind_or_reason = probe_backend()
+        if platform is None:
+            box["error"] = f"backend-unavailable: {kind_or_reason}"
+            return
+        try:
+            from volume_segmantics_tpu.utils.device import configure_platform
+
+            configure_platform()
+        except Exception as e:  # pragma: no cover
+            print(f"# configure_platform failed: {e}", file=sys.stderr)
         try:
             box["headline"] = run_bench(extra, box)
         except Exception as e:
@@ -723,6 +849,7 @@ def main():
                 file=sys.stderr,
             )
             out = None
+            killed = None
             try:
                 r = subprocess.run(
                     [sys.executable, str(Path(__file__).resolve())],
@@ -738,21 +865,29 @@ def main():
                 out = e.stdout
                 if isinstance(out, bytes):
                     out = out.decode(errors="replace")
-                last_reason = "attempt-killed: child exceeded hard timeout"
+                killed = "killed: child exceeded hard timeout"
             rec = _parse_record(out)
             if rec is None:
+                # Attribute the failure to THIS attempt (ADVICE r4: a
+                # stale attempt-1 'killed' string must not mislabel a
+                # different attempt-2 failure).
                 last_reason = (
-                    last_reason
-                    if "killed" in last_reason
-                    else "attempt-produced-no-record"
+                    f"attempt {i + 1}: {killed or 'produced no record'}"
                 )
                 continue
             if isinstance(rec.get("extra"), dict):
-                merged_extra.update(rec["extra"])
+                # A retry's failed stages write extra[key] = None; never
+                # let that erase a real measurement from an earlier attempt
+                # (ADVICE r4 — 'partial evidence is never discarded').
+                merged_extra.update({
+                    k: v
+                    for k, v in rec["extra"].items()
+                    if v is not None or k not in merged_extra
+                })
             last_rec = rec
             if rec.get("value") is not None or not rec.get("error"):
                 break  # success — no retry needed
-            last_reason = str(rec.get("error"))
+            last_reason = f"attempt {i + 1}: {rec.get('error')}"
     except Exception as e:  # pragma: no cover - supervisor must never raise
         last_reason = f"supervisor-error: {type(e).__name__}: {str(e)[:200]}"
     if last_rec is not None:

@@ -160,6 +160,45 @@ def main():
     OUT.write_text("\n".join(lines) + "\n")
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes, "
           f"{len(failures)} import failures)")
+    render_html()
+
+
+_HTML_STYLE = """\
+body { max-width: 60em; margin: 2em auto; padding: 0 1em;
+       font: 16px/1.55 system-ui, sans-serif; color: #1a1a1a; }
+code { background: #f2f2f4; padding: .1em .3em; border-radius: 3px;
+       font-size: .92em; }
+pre > code { display: block; padding: .8em; overflow-x: auto; }
+h2 { border-bottom: 1px solid #ddd; padding-bottom: .2em; margin-top: 2em; }
+h3, h4 { margin-top: 1.4em; }
+a { color: #0b5fa5; }
+"""
+
+
+def render_html() -> None:
+    """Render docs/API_REFERENCE.md to docs/api/index.html — the browsable
+    equivalent of the reference's pdoc site (reference docs/
+    volume_segmantics/index.html), built in CI by docs.yml. Deterministic
+    (pure function of the markdown), so the docs drift check covers it."""
+    try:
+        import markdown
+    except ImportError:  # pragma: no cover - env without markdown
+        print("markdown package unavailable; skipping HTML render")
+        return
+    html_dir = OUT.parent / "api"
+    html_dir.mkdir(exist_ok=True)
+    body = markdown.markdown(
+        OUT.read_text(), extensions=["fenced_code", "tables"]
+    )
+    page = (
+        "<!DOCTYPE html>\n<html lang=\"en\"><head><meta charset=\"utf-8\">\n"
+        "<meta name=\"viewport\" content=\"width=device-width, initial-scale=1\">\n"
+        "<title>volume_segmantics_tpu API reference</title>\n"
+        f"<style>\n{_HTML_STYLE}</style></head>\n<body>\n{body}\n</body></html>\n"
+    )
+    out = html_dir / "index.html"
+    out.write_text(page)
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
 
 
 if __name__ == "__main__":

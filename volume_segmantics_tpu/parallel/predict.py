@@ -22,8 +22,6 @@ def shard_mapped_sweep(sweep_trace: Callable, mesh) -> Callable:
 
     The wrapped function takes (variables, vol, global_batch_size); vol's
     leading axis must be divisible by (n_devices * local_batch)."""
-    from jax.experimental.shard_map import shard_map
-
     n_dev = mesh.devices.size
 
     def dp_sweep(variables, vol, batch_size):
@@ -32,7 +30,7 @@ def shard_mapped_sweep(sweep_trace: Callable, mesh) -> Callable:
         def local_sweep(v, local_vol):
             return sweep_trace(v, local_vol, local_bs)
 
-        return shard_map(
+        return jax.shard_map(
             local_sweep,
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),

@@ -122,7 +122,8 @@ def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
     Mirrors the config surface of reference base_data_utils.py:104-122 but
     queries TPU HBM (or uses static defaults) instead of CUDA.
     """
-    profile = getattr(settings, "performance_profile", None) or "parity"
+    profile_raw = getattr(settings, "performance_profile", None)
+    profile = profile_raw or "parity"
     if profile not in cfg.PERFORMANCE_PROFILES:
         raise ValueError(
             f"performance_profile must be one of "
@@ -147,6 +148,19 @@ def get_batch_size(settings: SimpleNamespace, prediction: bool = False) -> int:
                 if profile == "throughput"
                 else cfg.BIG_TRAIN_BATCH
             )
+            if profile_raw is None:
+                # Out-of-box users land on the reference-parity batch and
+                # never discover the ~3x knob; surface the measured numbers
+                # (v5e chip, bench.py train stages) right where the default
+                # is chosen.
+                logging.info(
+                    f"Tip: parity batch {cfg.BIG_TRAIN_BATCH} trains at "
+                    f"~{cfg.MEASURED_PARITY_SLICES_PER_S} slices/s on a v5e "
+                    f"chip; setting `performance_profile: throughput` "
+                    f"(batch {cfg.THROUGHPUT_TRAIN_BATCH}) measured "
+                    f"~{cfg.MEASURED_THROUGHPUT_SLICES_PER_S} slices/s "
+                    f"(~3x) with the LR re-derived by the LR finder."
+                )
         else:
             # Prediction defaults are already throughput-tuned
             # (cfg.BIG_PRED_BATCH + per-arch caps); the profile only

@@ -55,6 +55,12 @@ BIG_TRAIN_BATCH = 12
 # fixed-LR fine-tuning scale the LR with the batch yourself.
 THROUGHPUT_TRAIN_BATCH = 128
 PERFORMANCE_PROFILES = ("parity", "throughput")
+# Measured fused-train-step throughputs (v5e, U-Net/R34, 256², bench.py
+# round 4) quoted in the out-of-box tip `get_batch_size` logs when no
+# profile/batch override is set — advisory text only, not used in any
+# computation.
+MEASURED_PARITY_SLICES_PER_S = 500
+MEASURED_THROUGHPUT_SLICES_PER_S = 1600
 # Pure throughput: larger batches feed the MXU better. Measured on v5e,
 # 256³ 12-way TTA: batch 32 -> 1.63 s, 64 -> 1.2 s, 128 -> 0.92 s, 256 no
 # further gain; 512³ runs at batch 128 without memory pressure.
