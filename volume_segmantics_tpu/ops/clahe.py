@@ -129,16 +129,108 @@ def clahe(
 # tests/test_cv2_parity.py.
 
 
-def _clahe_kernel_body(S: int, grid_h: int, grid_w: int):
+def _clahe_lut_kernel_body(S: int, grid_h: int, grid_w: int):
+    """Per-sample LUT construction in the warp kernel's proven orientation:
+    pixels pre-flattened on the LANE axis by XLA (the wrapper passes
+    (n, 1, S*S)), bins on the SUBLANE axis, so the one-hot is a plain
+    2-D broadcast compare — no 3-D intermediates or in-kernel relayouts.
+    Histogram counts accumulate with static lane slices (int8, counts
+    <= tile rows); clip/redistribute and the CDF tril matmul keep bins on
+    sublanes throughout (dot_general contracts dim 0 of both operands, the
+    native MXU form). LUTs are emitted TRANSPOSED as (1, B, n_tiles) so the
+    blend kernel can consume them without a transpose."""
     th, tw = S // grid_h, S // grid_w
     tile_area = th * tw
     n_tiles = grid_h * grid_w
     n_bins = 256
-    band_h = th // 2  # half-tile row bands: tile-row pair fixed per band
-    n_bands = S // band_h
 
-    def kernel(img_ref, clip_ref, flag_ref, wx_ref, tril_ref, out_ref,
-               luts_ref):
+    def kernel(img_ref, clip_ref, flag_ref, tril_ref, luts_ref):
+        import jax.experimental.pallas as pl
+
+        @pl.when(flag_ref[0, 0, 0] != 0)
+        def _build_luts():
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (n_bins, th * S), 0
+            ).astype(jnp.float32)
+
+            # --- per-tile histograms -> hist (B, n_tiles), bins on
+            # sublanes. Counts are exact small integers throughout: the
+            # one-hot is bf16 (Mosaic has no int8 adds), row sums <= th
+            # are exact in bf16, tile sums <= tile_area move to f32. ---
+            def strip_hist(ty):
+                px = img_ref[0, pl.dslice(0, 1), pl.dslice(ty * th * S, th * S)]
+                bins = jnp.clip(jnp.round(px * 255.0), 0, 255)  # (1, th*S)
+                oh = (bins == sub).astype(jnp.bfloat16)  # (B, th*S)
+                acc = oh[:, 0:S]
+                for r in range(1, th):
+                    acc = acc + oh[:, r * S:(r + 1) * S]
+                cols = [
+                    jnp.sum(
+                        acc[:, j * tw:(j + 1) * tw].astype(jnp.float32),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    for j in range(grid_w)
+                ]
+                return jnp.concatenate(cols, axis=1)  # (B, grid_w)
+
+            hist = jnp.concatenate(
+                [strip_hist(ty) for ty in range(grid_h)], axis=1
+            )  # (B, n_tiles), tile index = ty * grid_w + j
+
+            # --- OpenCV clip/redistribute + CDF, bins on sublanes ---
+            clip_limit = clip_ref[0, 0, 0]
+            limit = jnp.maximum(
+                jnp.floor(clip_limit * tile_area / n_bins), 1.0
+            )
+            clipped = jnp.minimum(hist, limit)
+            excess = jnp.sum(hist - clipped, axis=0, keepdims=True)  # (1, T)
+            redist = jnp.floor(excess / n_bins)
+            residual = excess - redist * n_bins
+            step = jnp.maximum(
+                jnp.floor(n_bins / jnp.maximum(residual, 1.0)), 1.0
+            )
+            bin_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (n_bins, n_tiles), 0
+            ).astype(jnp.float32)
+            gets_one = (jnp.mod(bin_idx, step) == 0.0) & (
+                bin_idx / step < residual
+            )
+            clipped = clipped + redist + gets_one.astype(jnp.float32)
+            # cdf[b, t] = sum_{b' <= b} clipped[b', t]: contract dim 0 of
+            # tril.T (the wrapper's tril input) with dim 0 of clipped.
+            cdf = jax.lax.dot_general(
+                tril_ref[...],
+                clipped,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, T) exact integer counts
+            luts = jnp.clip(
+                jnp.rint(cdf * ((n_bins - 1) / tile_area)), 0, 255
+            )
+            luts_ref[...] = luts[None]  # (1, B, n_tiles)
+
+    return kernel
+
+
+def _clahe_blend_kernel_body(S: int, grid_h: int, grid_w: int):
+    """Bilinear tile blend, one half-tile row band per grid step (tile-row
+    pair fixed per band), pixels on lanes / bins on sublanes like the LUT
+    kernel. The per-pixel 4-LUT lookup is ONE int8 dot in the native
+    contract-dim0 orientation: lut columns (B, 2*grid_w) x one-hot
+    (B, band_h*S) -> (2*grid_w, band_h*S) — LUT values are exact small
+    integers shifted to [-128, 127], so the int32 accumulation (one nonzero
+    term per column) reproduces them bit-for-bit. The y/x blend weights
+    arrive as a static precomputed (n_bands, 2*grid_w, band_h*S) input.
+    Grid order is (band, sample) so the weight block stays resident across
+    the inner sample sweep."""
+    th = S // grid_h
+    band_h = th // 2
+    n_bins = 256
+
+    del th, band_h  # tile geometry is absorbed into the static weights
+
+    def kernel(img_ref, flag_ref, luts_ref, w_ref, out_ref):
         import jax.experimental.pallas as pl
 
         @pl.when(flag_ref[0, 0, 0] == 0)
@@ -146,113 +238,55 @@ def _clahe_kernel_body(S: int, grid_h: int, grid_w: int):
             out_ref[...] = img_ref[...]
 
         @pl.when(flag_ref[0, 0, 0] != 0)
-        def _clahe():
-            iota_b = jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, n_bins), 2
+        def _blend():
+            p = w_ref.shape[2]
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (n_bins, p), 0
             ).astype(jnp.float32)
-
-            def read_bins(row_start, rows):
-                """Rows [row_start, row_start+rows) as f32 bin values."""
-                block = img_ref[pl.dslice(0, 1), pl.dslice(row_start, rows), :][0]
-                return jnp.clip(jnp.round(block * 255.0), 0, 255)
-
-            # --- per-tile histograms -> luts_ref as (grid_h, grid_w, B) ---
-            def strip_body(ty, carry):
-                strip = read_bins(ty * th, th)  # (th, S)
-                cmp = (strip[:, :, None] == iota_b).astype(jnp.bfloat16)
-                # counts per column: sum over the th rows (exact: <= th)
-                col_counts = jnp.sum(cmp, axis=0)  # (S, B) bf16
-                # segment-sum columns into grid_w tiles (exact in f32)
-                seg = jnp.sum(
-                    col_counts.reshape(grid_w, tw, n_bins).astype(
-                        jnp.float32
-                    ),
-                    axis=1,
-                )  # (grid_w, B)
-                luts_ref[pl.dslice(ty, 1), :, :] = seg[None]
-                return carry
-
-            jax.lax.fori_loop(0, grid_h, strip_body, 0, unroll=False)
-
-            # --- OpenCV clip/redistribute + CDF -> LUTs (in place) ---
-            hist = luts_ref[...].reshape(n_tiles, n_bins)
-            clip_limit = clip_ref[0, 0, 0]
-            limit = jnp.maximum(
-                jnp.floor(clip_limit * tile_area / n_bins), 1.0
-            )
-            clipped = jnp.minimum(hist, limit)
-            excess = jnp.sum(hist - clipped, axis=1, keepdims=True)
-            redist = jnp.floor(excess / n_bins)
-            residual = excess - redist * n_bins
-            step = jnp.maximum(
-                jnp.floor(n_bins / jnp.maximum(residual, 1.0)), 1.0
-            )
-            bin_idx = jax.lax.broadcasted_iota(
-                jnp.int32, (n_tiles, n_bins), 1
-            ).astype(jnp.float32)
-            gets_one = (jnp.mod(bin_idx, step) == 0.0) & (
-                bin_idx / step < residual
-            )
-            clipped = clipped + redist + gets_one.astype(jnp.float32)
-            cdf = jax.lax.dot_general(
-                clipped,
-                tril_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # exact integer counts
-            luts = jnp.clip(
-                jnp.rint(cdf * ((n_bins - 1) / tile_area)), 0, 255
-            )
-            luts_ref[...] = luts.reshape(grid_h, grid_w, n_bins)
-
-            # --- bilinear tile blend, one half-tile row band at a time.
-            # Per band the two relevant tile rows are fixed, so the
-            # per-pixel 4-LUT lookup is ONE bf16 one-hot matmul
-            # (band_h*S, B) @ (B, 2*grid_w) on the MXU (LUT values <= 255
-            # are exact in bf16; each one-hot row has a single 1), followed
-            # by a small VPU weight blend. ~15% faster than reducing
-            # oh * table on the VPU (measured at b128/256²). ---
-            wx = wx_ref[...]  # (S, grid_w) static column weights
-            wx2 = jnp.concatenate([wx, wx], axis=1)  # (S, 2*grid_w)
-
-            def band_body(r, carry):
-                ty0f = jnp.floor((r * band_h - th // 2) / th).astype(
-                    jnp.int32
+            px = img_ref[0, pl.dslice(0, 1), :]  # (1, band_h*S)
+            bins = jnp.clip(jnp.round(px * 255.0), 0, 255)
+            oh = (bins == sub).astype(jnp.int8)  # (B, band_h*S)
+            lli = (luts_ref[0] - 128.0).astype(jnp.int8)  # (B, n_tiles)
+            g = (
+                jax.lax.dot_general(
+                    lli,
+                    oh,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
                 )
-                ty0 = jnp.clip(ty0f, 0, grid_h - 1)
-                ty1 = jnp.clip(ty0f + 1, 0, grid_h - 1)
-                l0 = luts_ref[pl.dslice(ty0, 1), :, :][0]  # (grid_w, B)
-                l1 = luts_ref[pl.dslice(ty1, 1), :, :][0]
-                ll = jnp.concatenate([l0, l1], axis=0)  # (2*grid_w, B)
-                band = read_bins(r * band_h, band_h)  # (band_h, S)
-                oh = (band[:, :, None] == iota_b).astype(jnp.bfloat16)
-                g = jax.lax.dot_general(
-                    oh.reshape(band_h * S, n_bins),
-                    ll.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(band_h, S, 2 * grid_w)  # g[y,x,(t,j)] = L[t,j,bin]
-                yy = jax.lax.broadcasted_iota(
-                    jnp.int32, (band_h, 1, 1), 0
-                ).astype(jnp.float32) + jnp.float32(r * band_h)
-                t = (yy - th * 0.5) / th
-                frac = t - jnp.floor(t)
-                wy2 = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(1.0 - frac, (band_h, 1, grid_w)),
-                        jnp.broadcast_to(frac, (band_h, 1, grid_w)),
-                    ],
-                    axis=2,
-                )  # (band_h, 1, 2*grid_w)
-                out = jnp.sum(g * (wy2 * wx2[None]), axis=2)
-                out_ref[
-                    pl.dslice(0, 1), pl.dslice(r * band_h, band_h), :
-                ] = (out / 255.0)[None]
-                return carry
-
-            jax.lax.fori_loop(0, n_bands, band_body, 0, unroll=False)
+                + 128
+            ).astype(jnp.float32)  # (n_tiles, band_h*S)
+            out = jnp.sum(g * w_ref[0], axis=0, keepdims=True)
+            out_ref[...] = (out / 255.0)[None]
 
     return kernel
+
+
+def _clahe_blend_weights(S: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """Static (n_bands, n_tiles, band_h*S) blend weights: W[r, t, p] is
+    tile t's bilinear weight for flattened band pixel p = y_in_band * S + x
+    (<= 4 nonzero tiles per pixel; zero-weight tiles contribute exactly 0
+    to the kernel's sum). Same f32 arithmetic as the in-kernel math it
+    replaces (OpenCV convention: fraction before clamping, neighbour tile
+    indices clamped independently so edge tiles absorb the full weight)."""
+    th, tw = S // grid_h, S // grid_w
+    band_h = th // 2
+    n_bands = S // band_h
+    wx = _clahe_wx(S, grid_w)  # (S, grid_w) f32
+    W = np.zeros((n_bands, grid_h * grid_w, band_h * S), np.float32)
+    for r in range(n_bands):
+        yy = (np.arange(band_h) + r * band_h).astype(np.float32)
+        t = (yy - np.float32(th * 0.5)) / np.float32(th)
+        frac = (t - np.floor(t)).astype(np.float32)  # (band_h,)
+        ty0f = int(np.floor((r * band_h - th // 2) / th))
+        ty0 = min(max(ty0f, 0), grid_h - 1)
+        ty1 = min(max(ty0f + 1, 0), grid_h - 1)
+        wy0 = (np.float32(1.0) - frac)[:, None]  # weight for tile row ty0
+        wy1 = frac[:, None]
+        for j in range(grid_w):
+            W[r, ty0 * grid_w + j] += (wy0 * wx[None, :, j]).reshape(-1)
+            W[r, ty1 * grid_w + j] += (wy1 * wx[None, :, j]).reshape(-1)
+    return W
 
 
 def _clahe_wx(S: int, grid_w: int) -> np.ndarray:
@@ -296,30 +330,53 @@ def clahe_batch_fused(
     assert h == w, "square CLAHE tiles expected"
     S = h
     assert S % (2 * grid_h) == 0 and S % grid_w == 0
-    kernel = _clahe_kernel_body(S, grid_h, grid_w)
-    wx = jnp.asarray(_clahe_wx(S, grid_w))
-    tril = jnp.asarray(
-        np.tril(np.ones((256, 256), np.float32), k=0).T
-    )  # tril.T[b, ob] = 1 where b <= ob
+    th = S // grid_h
+    band_h = th // 2
+    n_bands = S // band_h
+    n_tiles = grid_h * grid_w
+    # Pixels ride the LANE axis (warp-kernel orientation): flatten rows
+    # outside the kernel so no in-kernel relayouts are needed.
+    imgs_flat = imgs.astype(jnp.float32).reshape(n, 1, S * S)
     clips2 = clips.reshape(n, 1, 1).astype(jnp.float32)
     flags2 = apply.reshape(n, 1, 1).astype(jnp.float32)
-    out = pl.pallas_call(
-        kernel,
+    tril = jnp.asarray(
+        np.tril(np.ones((256, 256), np.float32), k=0).T
+    )  # tril.T[b', b] = 1 where b' <= b
+
+    luts = pl.pallas_call(
+        _clahe_lut_kernel_body(S, grid_h, grid_w),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S * S), lambda i: (i, 0, 0)),
             pl.BlockSpec(
                 (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((S, grid_w), lambda i: (0, 0)),
             pl.BlockSpec((256, 256), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, S, S), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, S, S), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((grid_h, grid_w, 256), jnp.float32)],
+        out_specs=pl.BlockSpec((1, 256, n_tiles), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 256, n_tiles), jnp.float32),
         interpret=interpret,
-    )(imgs.astype(jnp.float32), clips2, flags2, wx, tril)
-    return out
+    )(imgs_flat, clips2, flags2, tril)
+
+    W = jnp.asarray(_clahe_blend_weights(S, grid_h, grid_w))
+    # Grid order (band, sample): the weight block for a band stays resident
+    # across the whole inner sample sweep.
+    out = pl.pallas_call(
+        _clahe_blend_kernel_body(S, grid_h, grid_w),
+        grid=(n_bands, n),
+        in_specs=[
+            pl.BlockSpec((1, 1, band_h * S), lambda r, i: (i, 0, r)),
+            pl.BlockSpec(
+                (1, 1, 1), lambda r, i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 256, n_tiles), lambda r, i: (i, 0, 0)),
+            pl.BlockSpec((1, n_tiles, band_h * S), lambda r, i: (r, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, band_h * S), lambda r, i: (i, 0, r)),
+        out_shape=jax.ShapeDtypeStruct((n, 1, S * S), jnp.float32),
+        interpret=interpret,
+    )(imgs_flat, flags2, luts, W)
+    return out.reshape(n, S, S)
