@@ -11,6 +11,7 @@ with one fused XLA gather per sample.
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def reflect101_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -130,16 +131,26 @@ def _warp_kernel_body(S: int, R: int, sep_enabled: bool):
     so no in-kernel transposes/relayouts are needed.
     """
     P_BLK = R * S
+    WIN_ROWS = 128
+    win_enabled = sep_enabled and S > WIN_ROWS
     dn00 = (((0,), (0,)), ((), ()))  # contract dim0 x dim0
     dn10 = (((1,), (0,)), ((), ()))  # contract dim1 x dim0
 
-    def kernel(yx_ref, img_ref, msk_ref, flag_ref, a_ref, wa_ref, b_ref,
-               out_ref):
+    def kernel(yx_ref, img_ref, msk_ref, flag_ref, win_ref, a_ref, wa_ref,
+               b_ref, out_ref):
         img = img_ref[0]                       # (S, S) int8, payload - 128
         msk = msk_ref[0]
         period = jnp.float32(2 * (S - 1))
 
-        def general():
+        def general(widx, base):
+            """General (non-separable) block. `widx` is the candidate
+            source-row count — S for the full branch, WIN_ROWS for the
+            Y-WINDOWED branch: the wrapper proves this block's reflected y
+            taps span < WIN_ROWS rows (true for nearly every elastic /
+            optical block — the fields are smooth) and ships the 32-aligned
+            window `base`, so the y one-hot construction and the int8 dots
+            shrink by S/WIN_ROWS while staying bit-exact (the x side and
+            all blend math are untouched)."""
             y = yx_ref[0, 0, 0:1, :]           # (1, P_BLK) f32
             x = yx_ref[0, 0, 1:2, :]
             y0 = jnp.floor(y)
@@ -160,18 +171,30 @@ def _warp_kernel_body(S: int, R: int, sep_enabled: bool):
             ym = jnp.where(wy > 0.5, y1r, y0r)
             xm = jnp.where(wx > 0.5, x1r, x0r)
             sub = jax.lax.broadcasted_iota(jnp.int32, (S, P_BLK), 0)
-            oh0 = (y0r == sub).astype(jnp.int8)
-            oh1 = (y1r == sub).astype(jnp.int8)
-            ohm = (ym == sub).astype(jnp.int8)
+            if widx == S:
+                sub_y, imgw, mskw = sub, img, msk
+            else:
+                sub_y = jax.lax.broadcasted_iota(
+                    jnp.int32, (widx, P_BLK), 0
+                )
+                base_al = pl.multiple_of(base, 32)
+                imgw = img_ref[0, pl.dslice(base_al, widx), :]
+                mskw = msk_ref[0, pl.dslice(base_al, widx), :]
+                y0r = y0r - base
+                y1r = y1r - base
+                ym = ym - base
+            oh0 = (y0r == sub_y).astype(jnp.int8)
+            oh1 = (y1r == sub_y).astype(jnp.int8)
+            ohm = (ym == sub_y).astype(jnp.int8)
             # Each one-hot column sums to 1, so adding 128 undoes the
             # payload shift exactly in int32.
-            rows0 = (jax.lax.dot_general(img, oh0, dn00,
+            rows0 = (jax.lax.dot_general(imgw, oh0, dn00,
                                          preferred_element_type=jnp.int32)
                      + 128).astype(jnp.float32)
-            rows1 = (jax.lax.dot_general(img, oh1, dn00,
+            rows1 = (jax.lax.dot_general(imgw, oh1, dn00,
                                          preferred_element_type=jnp.int32)
                      + 128).astype(jnp.float32)
-            rowsm_i = jax.lax.dot_general(msk, ohm, dn00,
+            rowsm_i = jax.lax.dot_general(mskw, ohm, dn00,
                                           preferred_element_type=jnp.int32)
             # x0r != x1r always (reflect-101 is injective on consecutive
             # indices), so the two one-hot weight terms are exclusive and a
@@ -190,11 +213,18 @@ def _warp_kernel_body(S: int, R: int, sep_enabled: bool):
             out_ref[0, 0] = jnp.concatenate([img_out, mval], axis=0)
 
         if not sep_enabled:
-            general()
+            general(S, 0)
             return
 
         flag = flag_ref[0, 0, 0]
-        pl.when(flag == 0)(general)
+        if win_enabled:
+            use_w = win_ref[0, 0, 0, 0]
+            pl.when((flag == 0) & (use_w == 0))(lambda: general(S, 0))
+            pl.when((flag == 0) & (use_w != 0))(
+                lambda: general(WIN_ROWS, win_ref[0, 0, 0, 1])
+            )
+        else:
+            pl.when(flag == 0)(lambda: general(S, 0))
 
         def sep_taps():
             """Shared one-hot construction for both separable orientations.
@@ -360,6 +390,32 @@ def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
         A = jnp.zeros((n, NB, 3, R), jnp.float32)
         WA = jnp.zeros((n, NB, R, 1), jnp.float32)
         B = jnp.zeros((n, 4, S), jnp.float32)
+    win_rows = 128
+    if sep_enabled and S > win_rows:
+        # Per-(sample, block) y-tap window for the kernel's windowed general
+        # branch: same f32 reflect math as the kernel, so the bound is
+        # exact. base is 32-aligned (sublane-tile-aligned dynamic slices).
+        period = jnp.float32(2 * (S - 1))
+
+        def refl(v):
+            v = jnp.abs(v)
+            v = v - jnp.floor(v / period) * period
+            return jnp.where(v >= S, period - v, v)
+
+        y0 = jnp.floor(coords[:, 0])
+        t0 = refl(y0)
+        t1 = refl(y0 + 1.0)
+        lo = jnp.minimum(t0, t1).reshape(n, NB, P_BLK).min(-1)  # (n, NB)
+        hi = jnp.maximum(t0, t1).reshape(n, NB, P_BLK).max(-1)
+        base = jnp.clip(
+            (jnp.floor(lo / 32.0) * 32.0), 0.0, float(S - win_rows)
+        )
+        usable = (hi - base) <= (win_rows - 1)
+        win = jnp.stack(
+            [usable.astype(jnp.int32), base.astype(jnp.int32)], axis=-1
+        ).reshape(n, NB, 1, 2)
+    else:
+        win = jnp.zeros((n, NB, 1, 2), jnp.int32)
     kernel = _warp_kernel_body(S, R, sep_enabled)
     out = pl.pallas_call(
         kernel,
@@ -369,6 +425,10 @@ def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
             pl.BlockSpec((1, S, S), lambda b, p: (b, 0, 0)),
             pl.BlockSpec((1, S, S), lambda b, p: (b, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda b, p: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, 2), lambda b, p: (b, p, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((1, 1, 3, R), lambda b, p: (b, p, 0, 0)),
             pl.BlockSpec((1, 1, R, 1), lambda b, p: (b, p, 0, 0)),
             pl.BlockSpec((1, 4, S), lambda b, p: (b, 0, 0)),
@@ -381,6 +441,7 @@ def warp_batch_u8_mxu(imgs_u8: jnp.ndarray, msks_u8: jnp.ndarray,
         (imgs_u8.astype(jnp.int32) - 128).astype(jnp.int8),
         (msks_u8.astype(jnp.int32) - 128).astype(jnp.int8),
         flags,
+        win,
         A,
         WA,
         B,

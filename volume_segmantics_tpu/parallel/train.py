@@ -115,8 +115,13 @@ def build_dp_train_step(
             imgs = images_u8.astype(jnp.float32) / 255.0
             msks = masks_u8.astype(jnp.int32)
         x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
-        targets = jnp.transpose(
-            jax.nn.one_hot(msks, num_labels, dtype=jnp.float32), (0, 3, 1, 2)
+        # NCHW one-hot targets built directly on axis 1 in the compute
+        # dtype: 0/1 is exact in bf16 and every loss casts targets to the
+        # logits dtype anyway (losses.py flatten/astype), so this is
+        # bit-identical to the old f32-build-then-transpose at half the
+        # HBM traffic.
+        targets = jax.nn.one_hot(
+            msks, num_labels, axis=1, dtype=compute_dtype
         )
         if spatial:
             # Spatial partitioning: pin the model input's height axis to
@@ -193,10 +198,12 @@ def build_dp_eval_step(
     def step(params, batch_stats, images_u8, masks_u8, n_valid):
         imgs = images_u8.astype(jnp.float32) / 255.0
         x = (((imgs - mean) / std)[..., None]).astype(compute_dtype)
-        targets = jnp.transpose(
-            jax.nn.one_hot(masks_u8.astype(jnp.int32), num_labels,
-                           dtype=jnp.float32),
-            (0, 3, 1, 2),
+        # See the train step: direct NCHW one-hot in the compute dtype is
+        # bit-identical (0/1 exact; losses/metrics cast to their input
+        # dtype) and halves the target HBM traffic.
+        targets = jax.nn.one_hot(
+            masks_u8.astype(jnp.int32), num_labels, axis=1,
+            dtype=compute_dtype,
         )
         if space_size(mesh) > 1:
             x = jax.lax.with_sharding_constraint(x, nhwc_sharding(mesh))
