@@ -439,6 +439,8 @@ def run_bench(extra, box=None):
     deadline watchdog can report it even if a later stage wedges.
     Returns the headline wall-clock (256^3 12-way) or raises."""
     box = box if box is not None else {}
+    t_start = time.time()
+    budget = float(os.environ.get("VOLSEG_BENCH_DEADLINE", 3300))
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
@@ -636,44 +638,71 @@ def run_bench(extra, box=None):
         # 768^3 (1.7x the 512^3 in-memory run's voxels) through
         # VolSegLargeVolPredictor: input slabs stream up, labels stream
         # down, device memory stays slab-bounded. Evidence of the constant
-        # footprint: the process-wide peak device memory does NOT rise
-        # above the peak already set by the 512^3 IN-MEMORY stage even
-        # though the volume is 1.7x larger. LOW quality (single z sweep,
-        # no probs) bounds the ~35 MB/s tunnel time.
+        # footprint: peak LIVE device bytes sampled at ~10 Hz during the
+        # run (the axon PJRT backend reports no memory_stats; live-array
+        # accounting measures the same thing from the client side) stay
+        # far below the full-volume containers the in-memory path would
+        # allocate. LOW quality (single z sweep, no probs) bounds the
+        # tunnel time.
         try:
             from volume_segmantics_tpu.model.operations.vol_seg_large_predictor import (
                 VolSegLargeVolPredictor,
             )
 
-            def _peak_mb():
-                stats = jax.devices()[0].memory_stats() or {}
-                pk = stats.get("peak_bytes_in_use")
-                return round(pk / 1e6, 1) if pk else None
+            def _watched(fn):
+                """Run fn() while sampling peak live device bytes."""
+                import threading
+
+                peak = {"b": 0}
+                stop = threading.Event()
+
+                def sample():
+                    while not stop.is_set():
+                        try:
+                            b = sum(
+                                a.nbytes
+                                for a in jax.live_arrays()
+                                if getattr(a, "nbytes", None)
+                            )
+                            peak["b"] = max(peak["b"], b)
+                        except Exception:
+                            pass
+                        stop.wait(0.1)
+
+                th = threading.Thread(target=sample, daemon=True)
+                th.start()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                stop.set()
+                th.join(2.0)
+                return dt, round(peak["b"] / 1e6, 1)
+
+            # Contrast point: peak live bytes of the IN-MEMORY 512^3
+            # 12-way path (full volume + merge containers on device).
+            _, peak512 = _watched(
+                lambda: jax.block_until_ready(
+                    predictor._predict_12_ways_device(
+                        vol512_dev, output_probs=False
+                    )[0]
+                )
+            )
+            extra["predict_512cube_inmem_peak_live_mb"] = peak512
 
             vol768 = rng.integers(0, 255, (768,) * 3, dtype=np.uint8)
             large = VolSegLargeVolPredictor(
                 predictor, workdir=Path(td) / "stream768", slab_size=64
             )
-            peak_before = _peak_mb()
             print("# warm-up (compile) 768^3 streaming...", file=sys.stderr)
             large.predict_single_axis(vol768, output_probs=False)
-            extra["predict_768cube_stream_wallclock_s"] = round(
-                _best_time(
-                    lambda: large.predict_single_axis(
-                        vol768, output_probs=False
-                    ),
-                    n=2,
-                    budget_s=120.0,
-                ),
-                3,
+            dt, peak768 = _watched(
+                lambda: large.predict_single_axis(vol768, output_probs=False)
             )
-            peak_after = _peak_mb()
-            extra["predict_768cube_stream_peak_device_mb_before"] = peak_before
-            extra["predict_768cube_stream_peak_device_mb"] = peak_after
+            extra["predict_768cube_stream_wallclock_s"] = round(dt, 3)
+            extra["predict_768cube_stream_peak_live_mb"] = peak768
             print(
-                f"# 768^3 streaming (LOW, z): "
-                f"{extra['predict_768cube_stream_wallclock_s']}s, "
-                f"peak device mem {peak_before} -> {peak_after} MB",
+                f"# 768^3 streaming (LOW, z): {dt:.1f}s, peak live device "
+                f"mem {peak768} MB (512^3 in-memory path: {peak512} MB)",
                 file=sys.stderr,
             )
             del large, vol768
@@ -691,6 +720,18 @@ def run_bench(extra, box=None):
         ("throughput", "tutorial_dice_throughput",
          "tutorial_train_wallclock_s_throughput"),
     ):
+        # Each full reference-schedule train costs ~5-16 min on the
+        # tunneled host (parity pays per-step host+link overhead 13x51
+        # times); never start one the deadline watchdog would kill —
+        # partial evidence beats a truncated record.
+        remaining = budget - (time.time() - t_start) - 60.0
+        if remaining < 700.0:
+            print(
+                f"# skipping tutorial [{profile}]: {remaining:.0f}s of "
+                "bench budget left (< 700s)",
+                file=sys.stderr,
+            )
+            continue
         print(
             f"# training on synthetic vessels tutorial volume "
             f"[{profile}]...",

@@ -11,9 +11,12 @@ TPU-first:
   feeds uint8 numpy batches.
 - Learning rate is a scalar *argument* to the step (no recompile when the
   schedule changes between LR-finder and OneCycle phases).
-- Encoder-conv freezing (reference :102-116) is a static zero-mask over the
-  gradient/update pytree, letting XLA dead-code-eliminate the frozen
-  backward convolutions during the frozen phase.
+- Encoder-conv freezing (reference :102-116) is a static mask pytree: the
+  train step applies `stop_gradient` to masked leaves inside the loss, so
+  autodiff never builds the encoder backward chain and XLA dead-code
+  eliminates it (measured: gradient-multiply-by-zero masking alone did
+  NOT — XLA cannot fold f32 x*0 because of NaN/Inf — and the frozen step
+  ran at 1.00x the unfrozen step until the stop_gradient form landed).
 - BatchNorm statistics live in `batch_stats` and always update in training
   mode, matching torch's behaviour for requires_grad=False convs.
 """

@@ -136,6 +136,23 @@ def build_dp_train_step(
             )
 
         def compute_loss(p):
+            if mask_tree is not None:
+                # Frozen leaves (mask 0.0) are cut out of the autodiff
+                # graph STRUCTURALLY. Multiplying their gradients by 0.0
+                # afterwards does NOT do this: XLA cannot fold f32
+                # `x * 0 -> 0` (NaN/Inf semantics), so the entire encoder
+                # backward stayed in the HLO and the frozen step measured
+                # 1.00x the unfrozen step. stop_gradient produces
+                # structural zeros for the frozen leaves and lets XLA DCE
+                # the encoder backward chain; the masked update below is
+                # unchanged (those grads were exactly zero either way).
+                p = jax.tree_util.tree_map(
+                    lambda leaf, m: (
+                        leaf if m > 0.5 else jax.lax.stop_gradient(leaf)
+                    ),
+                    p,
+                    mask_tree,
+                )
             logits, mutated = module.apply(
                 {"params": p, "batch_stats": batch_stats},
                 x,
