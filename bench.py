@@ -402,8 +402,19 @@ def train_tutorial_and_dice(data, labels, workdir: Path, profile="parity"):
     settings.performance_profile = profile
     settings.model = {"type": "U_Net", "encoder_name": "resnet34",
                       "encoder_weights": None}
-    frozen_epochs = int(settings.num_cyc_frozen)
-    unfrozen_epochs = int(settings.num_cyc_unfrozen)
+    # No ImageNet weights exist in this environment, so the frozen phase
+    # trains the decoder against RANDOM frozen encoder features. At parity
+    # (51 steps/epoch) that still converges; at batch 128 (4-5 steps per
+    # epoch) it measured Dice 0.04 — exactly the situation the
+    # `skip_frozen_without_pretrained` setting exists for, so the
+    # throughput profile folds the frozen epochs into the unfrozen phase
+    # (same 13-epoch reference budget, all spent learning).
+    from volume_segmantics_tpu.scripts.train_2d_model import (
+        resolve_training_phases,
+    )
+
+    settings.skip_frozen_without_pretrained = profile == "throughput"
+    frozen_epochs, unfrozen_epochs = resolve_training_phases(settings)
     t0 = time.perf_counter()
     slicer = TrainingDataSlicer(data, labels, settings)
     trainer = VolSeg2dTrainer.from_slicer(slicer, slicer.num_seg_classes, settings)

@@ -175,3 +175,45 @@ def test_mismatched_slice_dirs_rejected(tmp_path):
         iio.imwrite(lb_dir / f"s{i}.png", np.zeros((8, 8), np.uint8))
     with pytest.raises(ValueError, match="slice counts differ"):
         VolSeg2dDataset(im_dir, lb_dir)
+
+
+def test_throughput_batch_clamped_on_small_datasets(training_settings, caplog):
+    """`performance_profile: throughput` keeps >= MIN_TRAIN_STEPS_PER_EPOCH
+    optimizer/BN steps per epoch on small datasets (at 4-5 steps/epoch the
+    lagging BN running stats pinned validation loss at ~1.0 and patience
+    killed the run — measured Dice 0.04 on the tutorial volume). Explicit
+    batch_size settings are never clamped."""
+    import copy
+    import logging
+
+    import volume_segmantics_tpu.utils.config as cfg
+
+    n = 80  # small: 64 training slices after the 0.8 split
+    images = np.zeros((n, 32, 32), np.uint8)
+    masks = np.zeros((n, 32, 32), np.uint8)
+    s = copy.deepcopy(training_settings)
+    s.image_size = 32
+    s.performance_profile = "throughput"
+    if hasattr(s, "batch_size"):
+        s.batch_size = None
+    with caplog.at_level(logging.INFO):
+        train_b, _ = get_2d_training_dataloaders(images, masks, s)
+    import jax
+
+    n_train = int(n * s.training_set_proportion)
+    expected = max(n_train // cfg.MIN_TRAIN_STEPS_PER_EPOCH,
+                   cfg.BIG_TRAIN_BATCH)
+    d = jax.device_count()
+    expected = ((expected + d - 1) // d) * d  # DP divisibility preserved
+    assert train_b.batch_size == expected
+    assert any("Clamping throughput-profile batch" in r.getMessage()
+               for r in caplog.records)
+    assert len(train_b) >= min(
+        cfg.MIN_TRAIN_STEPS_PER_EPOCH, n_train // expected
+    )
+
+    # Explicit override wins unclamped.
+    s2 = copy.deepcopy(s)
+    s2.batch_size = cfg.THROUGHPUT_TRAIN_BATCH
+    train_b2, _ = get_2d_training_dataloaders(images, masks, s2)
+    assert train_b2.batch_size == cfg.THROUGHPUT_TRAIN_BATCH

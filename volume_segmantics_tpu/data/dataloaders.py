@@ -7,12 +7,14 @@ indexing — there is nothing for worker processes to do, and each batch is a
 single host->device transfer. Augmentation runs on device.
 """
 
+import logging
 from types import SimpleNamespace
 from typing import Tuple
 
 import numpy as np
 
 import volume_segmantics_tpu.utils.base_data_utils as utils
+import volume_segmantics_tpu.utils.config as cfg
 # get_2d_prediction_dataset / get_2d_validation_dataset are re-exported via
 # __all__ for API discoverability alongside the reference factory names.
 from volume_segmantics_tpu.data.datasets import (
@@ -164,6 +166,36 @@ def get_2d_training_dataloaders(
     indices = np.random.permutation(dset_length)
     split = int(dset_length * training_set_prop)
     train_idx, validate_idx = indices[:split], indices[split:]
+
+    # `performance_profile: throughput` clamps its large batch so an epoch
+    # keeps at least cfg.MIN_TRAIN_STEPS_PER_EPOCH optimizer/BatchNorm
+    # steps on SMALL datasets: at 4-5 steps/epoch the momentum-0.9 running
+    # statistics lag the fast-moving early model, validation (eval mode)
+    # diverges from training, and epoch-granular patience stops the run
+    # before it can learn (measured on the 256^3 tutorial volume: batch
+    # 128 -> Dice 0.04, clamped batch -> parity-class Dice). Explicit
+    # `batch_size` overrides are respected unclamped; large datasets are
+    # unaffected.
+    profile = getattr(settings, "performance_profile", None) or "parity"
+    explicit = bool(getattr(settings, "batch_size", None))
+    if profile == "throughput" and not explicit:
+        cap = max(len(train_idx) // cfg.MIN_TRAIN_STEPS_PER_EPOCH,
+                  cfg.BIG_TRAIN_BATCH)
+        try:
+            import jax
+
+            n_dev = jax.device_count()
+        except Exception:  # pragma: no cover
+            n_dev = 1
+        # Keep the data-parallel divisibility get_batch_size guarantees.
+        cap = ((cap + n_dev - 1) // n_dev) * n_dev
+        if batch_size > cap:
+            logging.info(
+                f"Clamping throughput-profile batch {batch_size} -> {cap} "
+                f"so {len(train_idx)} training slices keep >= "
+                f"{cfg.MIN_TRAIN_STEPS_PER_EPOCH} steps per epoch."
+            )
+            batch_size = cap
     if len(train_idx) == 0 or len(validate_idx) == 0:
         raise ValueError(
             f"Cannot split {dset_length} slices into non-empty training and "

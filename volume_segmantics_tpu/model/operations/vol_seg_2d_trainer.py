@@ -560,22 +560,44 @@ class VolSeg2dTrainer:
         logging.info(f"LR to use {lr_to_use}")
         return lr_to_use
 
-    def _lr_exp_stepper(self, step):
+    def _lr_find_epochs_effective(self) -> int:
+        """Finder epochs, raised so the exponential sweep covers at least
+        cfg.MIN_LR_FIND_STEPS steps. The reference sweeps `lr_find_epochs`
+        epochs of a batch-12 loader (~50+ steps for the tutorial volume);
+        at `performance_profile: throughput` the same volume is 4-5 batches
+        per epoch and a 4-point sweep over [1e-6, 50] made the min-gradient
+        heuristic pick a divergent LR (observed: 0.198 -> the frozen phase
+        never learned, final Dice 0.0). Parity-batch runs with a normal
+        loader length are unaffected."""
+        steps_per_epoch = max(len(self.training_loader), 1)
+        need = -(-cfg.MIN_LR_FIND_STEPS // steps_per_epoch)  # ceil
+        return max(self.lr_find_epochs, need)
+
+    def _lr_exp_stepper(self, step, find_epochs=None):
         """Exponentially increase LR from starting_lr towards end_lr over
         the finder epochs (reference trainer :385-393)."""
-        total = self.lr_find_epochs * max(len(self.training_loader), 1)
+        if find_epochs is None:
+            find_epochs = self._lr_find_epochs_effective()
+        total = find_epochs * max(len(self.training_loader), 1)
         return self.starting_lr * math.exp(step * self.log_lr_ratio / total)
 
     def _lr_finder(self, smoothing=0.05):
         lr_find_loss = []
         lr_find_lr = []
         iters = 0
+        find_epochs = self._lr_find_epochs_effective()
+        if find_epochs != self.lr_find_epochs:
+            logging.info(
+                f"Raising LR-finder epochs {self.lr_find_epochs} -> "
+                f"{find_epochs} so the sweep has >= "
+                f"{cfg.MIN_LR_FIND_STEPS} steps at this batch size."
+            )
         logging.info(
-            f"Training for {self.lr_find_epochs} epochs to create a learning "
+            f"Training for {find_epochs} epochs to create a learning "
             "rate plot."
         )
         stop = False
-        for i in range(self.lr_find_epochs):
+        for i in range(find_epochs):
             if stop:
                 break
             for images, masks, _ in tqdm(
@@ -591,7 +613,15 @@ class VolSeg2dTrainer:
                 else:
                     loss = smoothing * loss + (1 - smoothing) * lr_find_loss[-1]
                     lr_find_loss.append(loss)
-                if loss > 1 and iters > len(self.training_loader) // 1.333:
+                # Reference early-stop (:337-340): abort once the loss
+                # exceeds 1 past ~75% of the sweep. The threshold scales
+                # with the TOTAL sweep (identical to the reference for
+                # find_epochs == 1): at one throughput-profile epoch of 4
+                # batches the per-epoch form stopped after 4 steps —
+                # DiceLoss STARTS above 1 — and the 4-point sweep made the
+                # LR pick catastrophic (Dice 0.0, measured).
+                total_steps = find_epochs * max(len(self.training_loader), 1)
+                if loss > 1 and iters > total_steps // 1.333:
                     stop = True
                     break
                 iters += 1

@@ -61,6 +61,23 @@ PERFORMANCE_PROFILES = ("parity", "throughput")
 # computation.
 MEASURED_PARITY_SLICES_PER_S = 500
 MEASURED_THROUGHPUT_SLICES_PER_S = 1600
+# Minimum exponential-sweep steps for the LR-range finder. The reference
+# sweeps `lr_find_epochs` EPOCHS (reference trainer :298-383) — ~50+ steps
+# at its batch 12 — but at `performance_profile: throughput` (batch 128)
+# one epoch is 4-5 steps and a 4-point sweep over [starting_lr, end_lr]
+# mis-picks catastrophically (measured: LR 0.198 -> Dice 0.0). The finder
+# raises its epoch count until the sweep has at least this many steps;
+# parity-batch runs with normal loader lengths are unaffected.
+MIN_LR_FIND_STEPS = 40
+# Minimum optimizer/BatchNorm steps per training epoch under
+# `performance_profile: throughput`: the profile clamps its large batch on
+# small datasets so momentum-0.9 BN running statistics keep pace with the
+# early model and epoch-granular early stopping stays meaningful (at 4-5
+# steps/epoch on the tutorial volume the val loss — eval mode, lagging
+# stats — pinned at ~1.0 while train loss fell, and patience killed the
+# run; measured Dice 0.04 vs parity-class after the clamp). Explicit
+# `batch_size` settings are never clamped.
+MIN_TRAIN_STEPS_PER_EPOCH = 16
 # Pure throughput: larger batches feed the MXU better. Measured on v5e,
 # 256³ 12-way TTA: batch 32 -> 1.63 s, 64 -> 1.2 s, 128 -> 0.92 s, 256 no
 # further gain; 512³ runs at batch 128 without memory pressure.
